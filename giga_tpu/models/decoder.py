@@ -1,0 +1,104 @@
+"""Local implicit decoders (reference: ConvONets/conv_onet/models/decoder.py:61-176).
+
+Per query point p: bilinearly sample each feature plane, concatenate to a
+3*c_dim feature c (concat_feat=True), then run
+    net = fc_p(p); for i in blocks: net = ResnetBlockFC(net + fc_c[i](c))
+    out = fc_out(relu(net))
+for every output head (qual, rot, width, occupancy).
+
+TPU-first design: the reference instantiates independent LocalDecoder modules
+per head and runs them sequentially over the same query features. Here the
+heads that share query points (qual/rot/width) are STACKED into one module —
+all per-head Linears become a single 3-way batched einsum so the whole decode
+is one MXU matmul chain. The occupancy decoder stays separate because it is
+queried at different points (and may need a stop-gradient on the features,
+networks.py:144-169 'giga_detach').
+
+Math (and parameter shapes per head) are identical to the reference, so a
+torch checkpoint converts by stacking the per-head weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from giga_tpu.core.config import DecoderConfig
+from giga_tpu.models.layers import torch_bias_init, torch_weight_init
+from giga_tpu.ops.sampling import sample_planes_concat
+
+
+def _stacked(shape_head, heads):
+    return (heads,) + tuple(shape_head)
+
+
+class StackedLocalDecoder(nn.Module):
+    """``heads`` independent LocalDecoders evaluated in one einsum chain.
+
+    Input: planes dict {t: (B, H, W, C)}, points (B, N, 3).
+    Output: (heads, B, N, out_dim) raw head outputs (no activations).
+
+    ``out_dim`` is the max over heads; converters zero-pad smaller heads and
+    callers slice what they need (qual/width/occ use [..., 0], rot uses [..., :4]).
+    """
+
+    cfg: DecoderConfig = DecoderConfig()
+    heads: int = 3
+    out_dim: int = 4
+
+    def _stack_param(self, name, shape_head, fan_in, zero=False):
+        if zero:
+            init = jax.nn.initializers.zeros
+        elif len(shape_head) == 1:  # bias
+            init = torch_bias_init(fan_in)
+        else:
+            # per-head kaiming uniform; fan_in of each head's 2D weight
+            init = torch_bias_init(fan_in)
+        return self.param(name, init, _stacked(shape_head, self.heads))
+
+    @nn.compact
+    def __call__(self, planes: dict, p: jnp.ndarray, feature: jnp.ndarray | None = None):
+        cfg = self.cfg
+        h = cfg.hidden_size
+        c_dim = cfg.c_dim * (3 if cfg.concat_feat else 1)
+
+        if feature is None:
+            feature = query_planes(planes, p, cfg)
+        c = feature  # (B, N, c_dim)
+
+        w_p = self._stack_param("fc_p_kernel", (3, h), 3)
+        b_p = self._stack_param("fc_p_bias", (h,), 3)
+        net = jnp.einsum("bnd,edk->ebnk", p, w_p) + b_p[:, None, None, :]
+
+        for i in range(cfg.n_blocks):
+            w_c = self._stack_param(f"fc_c{i}_kernel", (c_dim, h), c_dim)
+            b_c = self._stack_param(f"fc_c{i}_bias", (h,), c_dim)
+            net = net + jnp.einsum("bnc,eck->ebnk", c, w_c) + b_c[:, None, None, :]
+            # ResnetBlockFC with stacked weights
+            w0 = self._stack_param(f"block{i}_fc0_kernel", (h, h), h)
+            b0 = self._stack_param(f"block{i}_fc0_bias", (h,), h)
+            w1 = self._stack_param(f"block{i}_fc1_kernel", (h, h), h, zero=True)
+            b1 = self._stack_param(f"block{i}_fc1_bias", (h,), h)
+            hidden = jnp.einsum("ebnk,ekj->ebnj", jax.nn.relu(net), w0) + b0[:, None, None, :]
+            dx = jnp.einsum("ebnk,ekj->ebnj", jax.nn.relu(hidden), w1) + b1[:, None, None, :]
+            net = net + dx
+
+        w_out = self._stack_param("fc_out_kernel", (h, self.out_dim), h)
+        b_out = self._stack_param("fc_out_bias", (self.out_dim,), h)
+        out = jnp.einsum("ebnk,eko->ebno", jax.nn.relu(net), w_out) + b_out[:, None, None, :]
+        return out
+
+
+def query_planes(planes: dict, p: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
+    """Sample + concat plane features for a batch of query sets.
+
+    planes: {t: (B, H, W, C)}, p: (B, N, 3) -> (B, N, 3C).
+    """
+    if not cfg.concat_feat:
+        raise NotImplementedError("shipped GIGA presets use concat_feat=True")
+
+    def one(planes_b, p_b):
+        return sample_planes_concat(planes_b, p_b, cfg.padding)
+
+    return jax.vmap(one)(planes, p)

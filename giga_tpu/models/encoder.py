@@ -1,0 +1,79 @@
+"""Triplane voxel encoder (reference: ConvONets/encoder/voxels.py:10-121).
+
+Pipeline: (B, R, R, R) TSDF -> Conv3d(1->c_dim, k3) + ReLU -> per-voxel
+features -> pool onto three R_p^2 planes -> shared 2D U-Net refines all three
+planes as one batch.
+
+TPU-first insight (SURVEY.md section 7.1): with padding=0 and input
+resolution == plane resolution, the reference's normalize->index->scatter_mean
+chain (common.py:238-318 + torch_scatter) maps voxel (i, j, k) to plane cell
+(i, k) / (i, j) / (j, k) exactly — i.e. plane features are a plain mean over
+the orthogonal axis. That turns a general scatter into a static reduction
+XLA fuses into the surrounding ops. A general segment-mean path is kept for
+mismatched resolutions (and is the basis of the point-cloud encoders).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from giga_tpu.core.config import EncoderConfig
+from giga_tpu.models.layers import TorchConv
+from giga_tpu.models.unet2d import UNet2D
+from giga_tpu.ops.scatter import scatter_mean_planes
+
+
+def voxel_lattice_points(shape, dtype=jnp.float32):
+    """Per-voxel (x, y, z) coords, linspace(-0.5, 0.5, n) per axis (voxels.py:95-103)."""
+    axes = [jnp.linspace(-0.5, 0.5, n, dtype=dtype) for n in shape]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack(grids, axis=-1)
+
+
+class TriplaneVoxelEncoder(nn.Module):
+    """LocalVoxelEncoder equivalent. Input (B, R, R, R); output plane dict.
+
+    Returns {plane_type: (B, H, W, C)} with the reference's plane layout:
+    row = second plane axis, col = first plane axis.
+    """
+
+    cfg: EncoderConfig = EncoderConfig()
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B = x.shape[0]
+        in_res = x.shape[1:4]
+        x = x[..., None]  # NDHWC
+        feat = jax.nn.relu(TorchConv(cfg.c_dim, cfg.kernel_size, name="conv_in")(x))
+        # feat: (B, X, Y, Z, C)
+
+        lattice_exact = (
+            cfg.padding == 0.0
+            and in_res == (cfg.plane_resolution,) * 3
+        )
+        planes = {}
+        if lattice_exact:
+            # mean over the dropped axis, then swap spatial axes to (row, col)
+            reductions = {"xz": 2, "xy": 3, "yz": 1}
+            for t in cfg.plane_types:
+                p = feat.mean(axis=reductions[t])
+                planes[t] = p.transpose(0, 2, 1, 3)
+        else:
+            pts = voxel_lattice_points(in_res)
+            pts = jnp.broadcast_to(pts[None], (B,) + pts.shape)
+            flat_feat = feat.reshape(B, -1, cfg.c_dim)
+            flat_pts = pts.reshape(B, -1, 3)
+            for t in cfg.plane_types:
+                planes[t] = scatter_mean_planes(
+                    flat_pts, flat_feat, t, cfg.plane_resolution, cfg.padding
+                )
+
+        # one shared U-Net over all planes, batched as (3B, H, W, C)
+        order = [t for t in ("xz", "xy", "yz") if t in planes]
+        stacked = jnp.concatenate([planes[t] for t in order], axis=0)
+        refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
+        chunks = jnp.split(refined, len(order), axis=0)
+        return {t: c for t, c in zip(order, chunks)}

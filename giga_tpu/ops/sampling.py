@@ -1,0 +1,130 @@
+"""Feature-plane sampling with exact torch ``grid_sample`` semantics.
+
+The GIGA decoders sample each 2D feature plane at continuous query points with
+``F.grid_sample(mode='bilinear', padding_mode='border', align_corners=True)``
+(reference: ConvONets/conv_onet/models/decoder.py:117-130) after normalizing
+coordinates to [0, 1] (ConvONets/common.py:238-261). That chain is
+re-implemented here in two forms:
+
+  * ``sample_plane``: gather-based bilinear sampling for arbitrary query sets.
+  * ``lattice_interp_matrix``: for tensor-product lattices of query points
+    (the planner's dense 40^3 grid), bilinear sampling factorizes into two
+    small dense matmuls per plane — an exact, MXU-friendly formulation with
+    no gathers at all.
+
+Coordinate conventions (match the reference exactly):
+  * Points live in [-0.5, 0.5]^3.
+  * ``normalize_coordinate``: u = p / (1 + padding + 1e-5) + 0.5, then
+    values >= 1 are set to 1 - 1e-5 and values < 0 are set to 0.
+  * align_corners=True: u in [0, 1] maps to pixel coordinate u * (R - 1).
+  * border padding: pixel coordinates clamp to [0, R - 1].
+  * Plane layout: planes[c, row, col] where ``col`` indexes the first plane
+    axis (u[..., 0]) and ``row`` the second (u[..., 1]) — i.e. W-major like
+    torch's grid_sample x/y convention.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# first/second plane coordinate for each canonical plane, as indices into (x, y, z)
+PLANE_AXES = {"xz": (0, 2), "xy": (0, 1), "yz": (1, 2)}
+
+
+def normalize_coordinate(p2: jnp.ndarray, padding: float = 0.0) -> jnp.ndarray:
+    """Map 2D plane coordinates from [-0.5, 0.5] to [0, 1).
+
+    Exact replication of the reference's epsilon/clamp behavior
+    (common.py:238-261): divide by (1 + padding + 1e-5), shift by 0.5, then
+    set values >= 1 to 1 - 1e-5 and values < 0 to 0. Note this is NOT a
+    clamp — values in (1 - 1e-5, 1) pass through unchanged.
+    """
+    u = p2 / (1.0 + padding + 1e-5) + 0.5
+    u = jnp.where(u >= 1.0, 1.0 - 1e-5, u)
+    u = jnp.where(u < 0.0, 0.0, u)
+    return u
+
+
+def normalize_3d_coordinate(p3: jnp.ndarray, padding: float = 0.0) -> jnp.ndarray:
+    """3D variant; note the different epsilon (1e-3, common.py:263-279)."""
+    u = p3 / (1.0 + padding + 1e-3) + 0.5
+    u = jnp.where(u >= 1.0, 1.0 - 1e-3, u)
+    u = jnp.where(u < 0.0, 0.0, u)
+    return u
+
+
+def sample_plane(plane: jnp.ndarray, p: jnp.ndarray, plane_type: str, padding: float = 0.0):
+    """Bilinearly sample one feature plane at 3D query points.
+
+    Args:
+        plane: (H, W, C) feature plane (channels-last).
+        p: (N, 3) query points in [-0.5, 0.5]^3.
+        plane_type: 'xz' | 'xy' | 'yz'.
+    Returns:
+        (N, C) sampled features.
+    """
+    a0, a1 = PLANE_AXES[plane_type]
+    u = normalize_coordinate(p[:, (a0, a1)], padding)
+    H, W, _ = plane.shape
+    # align_corners=True pixel coords; border padding = clamp
+    fx = jnp.clip(u[:, 0] * (W - 1), 0.0, W - 1)  # col
+    fy = jnp.clip(u[:, 1] * (H - 1), 0.0, H - 1)  # row
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2) if W > 1 else jnp.zeros_like(fx, jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2) if H > 1 else jnp.zeros_like(fy, jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx = fx - x0
+    wy = fy - y0
+
+    f00 = plane[y0, x0]
+    f01 = plane[y0, x1]
+    f10 = plane[y1, x0]
+    f11 = plane[y1, x1]
+    top = f00 + (f01 - f00) * wx[:, None]
+    bot = f10 + (f11 - f10) * wx[:, None]
+    return top + (bot - top) * wy[:, None]
+
+
+def sample_planes_concat(planes: dict, p: jnp.ndarray, padding: float = 0.0):
+    """Sample all planes and concatenate features (concat_feat=True path).
+
+    Concatenation order matches the reference decoder (decoder.py:136-147):
+    xz, xy, yz.
+
+    Args:
+        planes: dict plane_type -> (H, W, C).
+        p: (N, 3) points.
+    Returns:
+        (N, 3C) features.
+    """
+    feats = [sample_plane(planes[t], p, t, padding) for t in ("xz", "xy", "yz") if t in planes]
+    return jnp.concatenate(feats, axis=-1)
+
+
+def interp_matrix_1d(coords: jnp.ndarray, reso: int, padding: float = 0.0) -> jnp.ndarray:
+    """(N, reso) matrix M with M @ f == bilinear 1D interpolation of f at coords.
+
+    ``coords`` are raw 1D point coordinates in [-0.5, 0.5]; normalization and
+    border clamping match ``sample_plane`` exactly. For a tensor-product
+    lattice of query points, sampling a (H, W, C) plane factorizes as
+    ``einsum('qh,kw,hwc->qkc', M_row, M_col, plane)`` — two small matmuls that
+    run on the MXU instead of 4 gathers per point.
+    """
+    u = normalize_coordinate(coords, padding)
+    f = jnp.clip(u * (reso - 1), 0.0, reso - 1)
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, reso - 2)
+    w = f - i0
+    n = coords.shape[0]
+    cols = jnp.arange(reso)[None, :]
+    m0 = (cols == i0[:, None]) * (1.0 - w)[:, None]
+    m1 = (cols == (i0 + 1)[:, None]) * w[:, None]
+    return (m0 + m1).astype(jnp.float32)
+
+
+def sample_plane_lattice(plane: jnp.ndarray, row_m: jnp.ndarray, col_m: jnp.ndarray):
+    """Sample a (H, W, C) plane on the lattice defined by 1D interp matrices.
+
+    Returns (Nrow, Ncol, C) = row_m @ plane @ col_m^T (per channel).
+    """
+    t = jnp.einsum("rh,hwc->rwc", row_m, plane)
+    return jnp.einsum("qw,rwc->rqc", col_m, t)

@@ -1,0 +1,20 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+Must run before jax is imported anywhere, so the env vars are set at conftest
+import time. This is the standard JAX fake-backend trick for exercising
+multi-device sharding (SURVEY.md section 4) without TPU hardware; numeric
+golden tests also run faster on CPU than through TPU compile cycles.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
