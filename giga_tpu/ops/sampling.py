@@ -124,7 +124,12 @@ def interp_matrix_1d(coords: jnp.ndarray, reso: int, padding: float = 0.0) -> jn
 def sample_plane_lattice(plane: jnp.ndarray, row_m: jnp.ndarray, col_m: jnp.ndarray):
     """Sample a (H, W, C) plane on the lattice defined by 1D interp matrices.
 
-    Returns (Nrow, Ncol, C) = row_m @ plane @ col_m^T (per channel).
+    Returns (Nrow, Ncol, C) = row_m @ plane @ col_m^T (per channel). Full
+    precision: the interpolation weights are exact and the planes are the
+    decoders' sole input, so bf16 matmul passes are not acceptable here.
     """
-    t = jnp.einsum("rh,hwc->rwc", row_m, plane)
-    return jnp.einsum("qw,rwc->rqc", col_m, t)
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("rh,hwc->rwc", row_m, plane, precision=hi)
+    return jnp.einsum("qw,rwc->rqc", col_m, t, precision=hi)

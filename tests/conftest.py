@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# fp32 golden tests compare against torch/scipy; JAX's default matmul
+# precision is bf16-like, so force full precision for numerics tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
