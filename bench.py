@@ -1,0 +1,90 @@
+"""Benchmark: scenes/sec through the full GIGA planner pipeline on device.
+
+Measures the north-star metric from BASELINE.json: per-scene throughput of
+40^3 TSDF encode + dense 40^3 grasp-grid decode + on-device postprocess
+(smooth/mask/bound/NMS/top-K), i.e. the entire VGNImplicit.__call__ compute
+(reference: detection_implicit.py:33-85) as one jitted XLA program.
+
+Baseline: the reference PyTorch CPU path runs ~50 ms/scene (perception.py:108
+documents 35 ms of host TSDF readout alone within a ~50 ms pipeline), i.e.
+~20 scenes/sec. vs_baseline = ours / 20.
+
+Prints exactly one JSON line to stdout; details go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SCENES_PER_SEC = 20.0  # ~50 ms/scene reference pipeline
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from giga_tpu.core.config import PlannerConfig
+    from giga_tpu.inference.planner import build_giga_planner_fn
+    from giga_tpu.models.registry import get_network
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    net, cfg = get_network("giga")
+    rng_np = np.random.RandomState(0)
+    tsdf0 = jnp.zeros((1, 40, 40, 40), jnp.float32)
+    p0 = jnp.zeros((1, 1, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
+
+    planner_cfg = PlannerConfig(force_detection=True)
+    plan = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3)
+
+    grids = [jnp.asarray(rng_np.rand(40, 40, 40).astype(np.float32)) for _ in range(16)]
+
+    # compile + warmup
+    t0 = time.time()
+    cands, _ = plan(params, grids[0], grids[0])
+    jax.block_until_ready(cands)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # blocked single-scene latency (the planner is called once per grasp in
+    # the clutter-removal loop, so b=1 latency is the deployment number)
+    iters = 100
+    lat = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        cands, _ = plan(params, grids[i % 16], grids[i % 16])
+        jax.block_until_ready(cands)
+        lat.append(time.perf_counter() - t0)
+    dt = float(np.median(lat))
+    scenes_per_sec = 1.0 / dt
+    log(f"single-scene blocked latency (median): {dt * 1e3:.3f} ms -> {scenes_per_sec:.1f} scenes/s")
+
+    # pipelined throughput: overlap dispatch with device execution
+    iters = 400
+    t0 = time.perf_counter()
+    for i in range(iters):
+        cands, _ = plan(params, grids[i % 16], grids[i % 16])
+    jax.block_until_ready(cands)
+    pipelined_sps = iters / (time.perf_counter() - t0)
+    log(f"pipelined throughput: {pipelined_sps:.1f} scenes/s")
+
+    result = {
+        "metric": "giga_planner_scenes_per_sec",
+        "value": round(scenes_per_sec, 2),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+        "pipelined_scenes_per_sec": round(pipelined_sps, 2),
+        "single_scene_ms": round(dt * 1e3, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

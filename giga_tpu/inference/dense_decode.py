@@ -1,0 +1,134 @@
+"""Dense grasp-grid decoding with lattice factorization.
+
+The planner queries the implicit decoders at the full R^3 lattice of cell
+corners (reference: detection_implicit.py:28-31). Two structural facts make
+this far cheaper than a generic N-point decode:
+
+  1. Each triplane feature depends on only two of the three query coordinates,
+     so the bilinear sampling runs on three R^2 lattices (3*1600 points)
+     instead of R^3 (64000), via exact interpolation-matrix matmuls (MXU).
+  2. The decoder's per-block feature projections fc_c[i](c) are linear in the
+     concatenated feature, so they split into three per-plane projections
+     computed on the R^2 lattices and broadcast-added into the R^3 hidden
+     state - a ~40x FLOP reduction on every projection. Only the ResnetBlockFC
+     trunk (nonlinear) runs on the full R^3 x hidden state.
+
+Numerics are exactly the reference decode (same weights, same order of
+adds within each block input), verified against the gather-path module apply.
+
+Functions are pure (params pytree in, arrays out) so the planner can jit and
+shard them without linen indirection.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from giga_tpu.ops.sampling import interp_matrix_1d, sample_plane_lattice
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def lattice_coords(resolution: int) -> jnp.ndarray:
+    """Planner query coords: linspace(-0.5, 0.5 - 1/R, R) per axis."""
+    return jnp.linspace(-0.5, 0.5 - 1.0 / resolution, resolution, dtype=jnp.float32)
+
+
+def sample_planes_on_lattice(planes: dict, coords: jnp.ndarray, plane_reso: int, padding: float):
+    """Sample each (H, W, C) plane on the coords x coords query lattice.
+
+    Returns {t: (R, R, C)} indexed [first_axis_query, second_axis_query, C]
+    (e.g. planes['xz'][ix, iz]).
+    """
+    m = interp_matrix_1d(coords, plane_reso, padding)
+    out = {}
+    for t, plane in planes.items():
+        # sample_plane_lattice returns [row_q, col_q, C]; row = second plane
+        # axis, col = first -> transpose to [first, second, C]
+        out[t] = sample_plane_lattice(plane, m, m).transpose(1, 0, 2)
+    return out
+
+
+def _linear(x, kernel, bias, precision=HI):
+    return jnp.einsum("...c,ck->...k", x, kernel, precision=precision) + bias
+
+
+def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5):
+    """Run the stacked decoder heads on the full R^3 lattice.
+
+    Args:
+        dec_params: a StackedLocalDecoder param dict (heads axis first).
+        feats: {t: (R, R, C)} per-plane lattice features from
+            ``sample_planes_on_lattice``.
+        coords: (R,) per-axis query coordinates.
+    Returns:
+        (heads, R, R, R, out_dim) raw outputs, indexed [h, ix, iy, iz, o].
+    """
+    R = coords.shape[0]
+    heads = dec_params["fc_p_kernel"].shape[0]
+    h = dec_params["fc_p_kernel"].shape[-1]
+    c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+
+    fxz, fxy, fyz = feats["xz"], feats["xy"], feats["yz"]
+
+    # fc_p is linear in (x, y, z): separable broadcast
+    w_p = dec_params["fc_p_kernel"]  # (e, 3, h)
+    b_p = dec_params["fc_p_bias"]  # (e, h)
+    px = jnp.einsum("r,ek->erk", coords, w_p[:, 0], precision=HI)
+    py = jnp.einsum("r,ek->erk", coords, w_p[:, 1], precision=HI)
+    pz = jnp.einsum("r,ek->erk", coords, w_p[:, 2], precision=HI)
+    net = (
+        px[:, :, None, None, :]
+        + py[:, None, :, None, :]
+        + pz[:, None, None, :, :]
+        + b_p[:, None, None, None, :]
+    )  # (e, R, R, R, h)
+
+    def block(net, i):
+        # fc_c[i] split into per-plane projections on the 2D lattices
+        w_c = dec_params[f"fc_c{i}_kernel"]  # (e, 3c, h)
+        b_c = dec_params[f"fc_c{i}_bias"]
+        w_xz, w_xy, w_yz = w_c[:, :c_dim], w_c[:, c_dim : 2 * c_dim], w_c[:, 2 * c_dim :]
+        pxz = jnp.einsum("abc,ech->eabh", fxz, w_xz, precision=HI)  # (e, Rx, Rz, h)
+        pxy = jnp.einsum("abc,ech->eabh", fxy, w_xy, precision=HI)  # (e, Rx, Ry, h)
+        pyz = jnp.einsum("abc,ech->eabh", fyz, w_yz, precision=HI)  # (e, Ry, Rz, h)
+        net = (
+            net
+            + pxz[:, :, None, :, :]
+            + pxy[:, :, :, None, :]
+            + pyz[:, None, :, :, :]
+            + b_c[:, None, None, None, :]
+        )
+        # ResnetBlockFC on the full volume
+        w0, b0 = dec_params[f"block{i}_fc0_kernel"], dec_params[f"block{i}_fc0_bias"]
+        w1, b1 = dec_params[f"block{i}_fc1_kernel"], dec_params[f"block{i}_fc1_bias"]
+        hid = jnp.einsum("e...k,ekj->e...j", jax.nn.relu(net), w0, precision=HI) + b0[
+            :, None, None, None, :
+        ]
+        dx = jnp.einsum("e...k,ekj->e...j", jax.nn.relu(hid), w1, precision=HI) + b1[
+            :, None, None, None, :
+        ]
+        return net + dx
+
+    for i in range(n_blocks):
+        net = block(net, i)
+
+    w_out, b_out = dec_params["fc_out_kernel"], dec_params["fc_out_bias"]
+    out = jnp.einsum("e...k,eko->e...o", jax.nn.relu(net), w_out, precision=HI) + b_out[
+        :, None, None, None, :
+    ]
+    return out
+
+
+def decode_affordance_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5):
+    """(qual, rot, width) volumes from the stacked affordance decoder.
+
+    qual: (R,R,R) sigmoid; rot: (R,R,R,4) normalized; width: (R,R,R).
+    """
+    out = decode_dense(dec_params, feats, coords, n_blocks)
+    qual = jax.nn.sigmoid(out[0, ..., 0])
+    rot = out[1]
+    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+    width = out[2, ..., 0]
+    return qual, rot, width

@@ -1,0 +1,240 @@
+"""Grasp planners: TSDF in -> ranked grasps out, fully on device.
+
+``GIGAPlanner`` is the VGNImplicit equivalent (reference:
+detection_implicit.py:17-85); ``VGNPlanner`` the dense-CNN VGN equivalent
+(detection.py:26-81). The entire pipeline — encoding, dense 40^3 implicit
+decode, Gaussian smoothing, surface masking, bounding, NMS, top-K — is one
+jitted XLA program; the host only converts the top-K arrays into Grasp
+objects.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from giga_tpu.core.config import GIGAConfig, PlannerConfig, VGNConfig
+from giga_tpu.core.grasp import Grasp, from_voxel_coordinates
+from giga_tpu.core.transform import Rotation, Transform
+from giga_tpu.inference.dense_decode import (
+    decode_affordance_dense,
+    lattice_coords,
+    sample_planes_on_lattice,
+)
+from giga_tpu.inference.postprocess import (
+    GraspCandidates,
+    bound_quality,
+    mask_quality,
+    select_grasps,
+)
+from giga_tpu.models.registry import load_network
+
+
+class State(NamedTuple):
+    """Planner input: a TSDFVolume (or raw grid) + optional extras."""
+
+    tsdf: object
+    pc: object = None
+    tsdf_process: object = None
+
+
+def _lattice_positions(coords: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = jnp.meshgrid(coords, coords, coords, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig, size: float):
+    """Returns jitted (params, tsdf (R,R,R), tsdf_process (R,R,R)) -> (GraspCandidates, qual_vol, rot_vol, width_vol)."""
+    voxel_size = size / planner_cfg.resolution
+    n_blocks = model_cfg.decoder.n_blocks
+
+    def plan(params, tsdf, tsdf_process):
+        p = params["params"]
+        planes = net.apply({"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode")
+        planes = {t: v[0] for t, v in planes.items()}
+        coords = lattice_coords(planner_cfg.resolution)
+        feats = sample_planes_on_lattice(
+            planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
+        )
+        qual, rot, width = decode_affordance_dense(p["decoder_aff"], feats, coords, n_blocks)
+        raw = (qual, rot, width)
+        qual = mask_quality(qual, tsdf_process, width, planner_cfg)
+        qual = bound_quality(qual, voxel_size, planner_cfg)
+        cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
+        return cands, raw
+
+    return jax.jit(plan)
+
+
+def build_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float):
+    """VGN dense path; widths/positions are in voxel units (reference detection.py)."""
+    voxel_size = size / 40.0
+    cfg = planner_cfg
+    # reference VGN width window is in voxel units (detection.py:116-118)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, min_width=1.33, max_width=9.33)
+
+    def plan(params, tsdf, tsdf_process):
+        qual, rot, width = net.apply(params, tsdf[None])
+        qual, rot, width = qual[0], rot[0], width[0]
+        raw = (qual, rot, width)
+        qual = mask_quality(qual, tsdf_process, width, cfg)
+        qual = bound_quality(qual, voxel_size, cfg)
+        R = qual.shape[0]
+        idx = jnp.arange(R, dtype=jnp.float32)
+        positions = _lattice_positions(idx)  # voxel indices as float
+        cands = select_grasps(qual, rot, width, positions, cfg)
+        return cands, raw
+
+    return jax.jit(plan)
+
+
+def _get_grids(state: State, resolution: int, default_size: float):
+    """Extract (tsdf_grid, process_grid, voxel_size, size) from a State."""
+    tsdf = state.tsdf
+    if isinstance(tsdf, np.ndarray):
+        grid = tsdf
+        size = default_size
+        voxel_size = size / resolution
+        process_grid = grid
+    else:
+        grid = tsdf.get_grid()
+        size = tsdf.size
+        tsdf_process = state.tsdf_process if state.tsdf_process is not None else tsdf
+        voxel_size = tsdf_process.voxel_size
+        process_grid = tsdf_process.get_grid()
+    return np.squeeze(grid), np.squeeze(process_grid), voxel_size, size
+
+
+class GIGAPlanner:
+    """VGNImplicit-equivalent host wrapper around the jitted pipeline.
+
+    __call__(state) -> (grasps, scores, toc): grasps in metric workspace
+    coordinates, ordered best-first when ``best`` else randomly permuted
+    (reference: detection_implicit.py:62-76).
+    """
+
+    def __init__(
+        self,
+        model_path=None,
+        model_type: str = "giga",
+        best: bool = False,
+        force_detection: bool = False,
+        qual_th: float = 0.9,
+        out_th: float = 0.5,
+        resolution: int = 40,
+        size: float = 0.3,
+        max_grasps: int = 128,
+        net=None,
+        model_cfg=None,
+        params=None,
+        rng: Optional[np.random.RandomState] = None,
+        visualize: bool = False,
+    ):
+        if net is None:
+            net, model_cfg, params = load_network(model_path, model_type)
+        self.net, self.model_cfg, self.params = net, model_cfg, params
+        self.planner_cfg = PlannerConfig(
+            resolution=resolution,
+            qual_th=qual_th,
+            out_th=out_th,
+            force_detection=force_detection,
+            best=best,
+            max_grasps=max_grasps,
+        )
+        self.size = size
+        self.rng = rng if rng is not None else np.random
+        self.visualize = visualize
+        self._fn = build_giga_planner_fn(net, model_cfg, self.planner_cfg, size)
+
+    def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):
+        grid, process_grid, _, size = _get_grids(state, self.planner_cfg.resolution, self.size)
+        tic = time.time()
+        cands, raw = self._fn(self.params, jnp.asarray(grid), jnp.asarray(process_grid))
+        cands = jax.device_get(cands)
+        toc = time.time() - tic
+        grasps, scores = candidates_to_grasps(
+            cands, scale=size, offset=0.5, width_scale=size, best=self.planner_cfg.best, rng=self.rng
+        )
+        if self.visualize:
+            composed = _affordance_scene(raw, grasps, scores, scene_mesh, size)
+            return grasps, scores, toc, composed
+        return grasps, scores, toc
+
+
+class VGNPlanner:
+    """VGN-equivalent host wrapper (dense 3D CNN + same postprocessing)."""
+
+    def __init__(
+        self,
+        model_path=None,
+        model_type: str = "vgn",
+        best: bool = False,
+        force_detection: bool = False,
+        qual_th: float = 0.9,
+        out_th: float = 0.5,
+        size: float = 0.3,
+        max_grasps: int = 128,
+        net=None,
+        params=None,
+        rng: Optional[np.random.RandomState] = None,
+        visualize: bool = False,
+    ):
+        if net is None:
+            net, _, params = load_network(model_path, model_type)
+        self.net, self.params = net, params
+        self.planner_cfg = PlannerConfig(
+            qual_th=qual_th,
+            out_th=out_th,
+            force_detection=force_detection,
+            best=best,
+            max_grasps=max_grasps,
+        )
+        self.size = size
+        self.rng = rng if rng is not None else np.random
+        self.visualize = visualize
+        self._fn = build_vgn_planner_fn(net, self.planner_cfg, size)
+
+    def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):
+        grid, process_grid, voxel_size, _ = _get_grids(state, 40, self.size)
+        tic = time.time()
+        cands, raw = self._fn(self.params, jnp.asarray(grid), jnp.asarray(process_grid))
+        cands = jax.device_get(cands)
+        toc = time.time() - tic
+        grasps, scores = candidates_to_grasps(
+            cands, scale=voxel_size, offset=0.0, width_scale=voxel_size,
+            best=self.planner_cfg.best, rng=self.rng,
+        )
+        return grasps, scores, toc
+
+
+def candidates_to_grasps(cands: GraspCandidates, scale, offset, width_scale, best, rng):
+    """Top-K arrays -> ordered list of metric Grasp objects.
+
+    GIGA: metric position = (pos + 0.5) * size (detection_implicit.py:72);
+    VGN: metric position = voxel_index * voxel_size (detection.py:71).
+    """
+    count = int(cands.count)
+    grasps, scores = [], []
+    order = np.arange(count) if best else rng.permutation(count)
+    for i in order:
+        pos = (np.asarray(cands.positions[i], dtype=np.float64) + offset) * scale
+        quat = np.asarray(cands.rotations[i], dtype=np.float64)
+        width = float(cands.widths[i]) * width_scale
+        grasps.append(Grasp(Transform(Rotation.from_quat(quat), pos), width))
+        scores.append(float(cands.scores[i]))
+    return grasps, np.asarray(scores)
+
+
+def _affordance_scene(raw, grasps, scores, scene_mesh, size):
+    from giga_tpu.utils import visual
+
+    qual, rot, width = (np.asarray(v) for v in raw)
+    colored = visual.affordance_visual(qual, rot, scene_mesh, size, qual.shape[0])
+    scene = visual.compose_scene(colored, grasps, scores)
+    return scene

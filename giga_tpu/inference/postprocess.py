@@ -1,0 +1,95 @@
+"""On-device grasp post-processing: smooth -> mask -> bound -> select.
+
+Jit-compatible, static-shape reimplementation of the reference host pipeline
+(detection_implicit.py:87-185 / detection.py:83-183): Gaussian smoothing,
+TSDF surface-band masking via masked dilation, width windowing, workspace
+border zeroing, LOW_TH/threshold gating with the force-detection fallback,
+4^3 max-filter NMS, and top-K selection (fixed K, -inf padded) instead of
+np.argwhere's dynamic grasp list.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from giga_tpu.core.config import PlannerConfig
+from giga_tpu.ops.filters import gaussian_blur_3d, masked_binary_dilation, max_filter_3d
+
+
+class GraspCandidates(NamedTuple):
+    """Top-K grasp candidates in normalized grid coordinates.
+
+    scores: (K,) descending, -inf past ``count``.
+    positions: (K, 3) query-lattice coords (same units the decoder saw).
+    rotations: (K, 4) quaternions (xyzw).
+    widths: (K,) predicted widths (normalized units for GIGA, voxels for VGN).
+    count: () int32, number of valid candidates.
+    """
+
+    scores: jnp.ndarray
+    positions: jnp.ndarray
+    rotations: jnp.ndarray
+    widths: jnp.ndarray
+    count: jnp.ndarray
+
+
+def mask_quality(qual, tsdf, width, cfg: PlannerConfig):
+    """Smoothing + surface-band + width-window masking (reference process())."""
+    qual = gaussian_blur_3d(qual, cfg.gaussian_sigma)
+    outside = tsdf > cfg.out_th
+    inside = (tsdf > 1e-3) & (tsdf < cfg.out_th)
+    valid = masked_binary_dilation(outside, ~inside, iterations=2)
+    qual = jnp.where(valid, qual, 0.0)
+    qual = jnp.where((width < cfg.min_width) | (width > cfg.max_width), 0.0, qual)
+    return qual
+
+
+def bound_quality(qual, voxel_size: float, cfg: PlannerConfig):
+    """Zero out workspace borders (reference bound())."""
+    lx = int(cfg.bound_limits[0] / voxel_size)
+    ly = int(cfg.bound_limits[1] / voxel_size)
+    lz = int(cfg.bound_limits[2] / voxel_size)
+    R = qual.shape[0]
+    ix = jnp.arange(R)
+    mx = (ix >= lx) & (ix < R - lx)
+    my = (ix >= ly) & (ix < R - ly)
+    mz = ix >= lz
+    return qual * (
+        mx[:, None, None].astype(qual.dtype)
+        * my[None, :, None].astype(qual.dtype)
+        * mz[None, None, :].astype(qual.dtype)
+    )
+
+
+def select_grasps(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandidates:
+    """Threshold + NMS + static top-K (reference select()).
+
+    Args:
+        qual: (R, R, R) masked/bounded quality.
+        rot: (R, R, R, 4); width: (R, R, R); positions: (R, R, R, 3).
+    """
+    q = jnp.where(qual < cfg.low_th, 0.0, qual)
+    any_above = jnp.any(q >= cfg.qual_th)
+    best_only = jnp.logical_and(cfg.force_detection, ~any_above)
+    q = jnp.where(best_only, q, jnp.where(q < cfg.qual_th, 0.0, q))
+
+    max_vol = max_filter_3d(q, cfg.max_filter_size)
+    peaks = (q == max_vol) & (q > 0.0)
+
+    flat_scores = jnp.where(peaks, q, -jnp.inf).reshape(-1)
+    k = min(cfg.max_grasps, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    count = jnp.sum(peaks).astype(jnp.int32)
+    count = jnp.where(best_only, jnp.minimum(count, 1), count)
+    count = jnp.minimum(count, k)
+    # invalidate entries past count (handles best_only truncation)
+    rank = jnp.arange(k)
+    top_scores = jnp.where(rank < count, top_scores, -jnp.inf)
+
+    top_pos = positions.reshape(-1, 3)[top_idx]
+    top_rot = rot.reshape(-1, 4)[top_idx]
+    top_width = width.reshape(-1)[top_idx]
+    return GraspCandidates(top_scores, top_pos, top_rot, top_width, count)
