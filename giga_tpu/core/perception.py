@@ -98,12 +98,14 @@ class TSDFVolume:
         """Return the (1, R, R, R) float32 grid the planner consumes."""
         return np.asarray(self._tsdf)[None].astype(np.float32)
 
-    def get_cloud(self) -> np.ndarray:
-        """Extract an (N, 3) surface point cloud at the 0.5 iso-level."""
+    def get_cloud(self, with_normals: bool = False):
+        """Extract an (N, 3) surface point cloud at the 0.5 iso-level
+        (optionally with outward unit normals from the TSDF gradient)."""
         from giga_tpu.ops.tsdf import extract_surface_points
 
         return extract_surface_points(
-            np.asarray(self._tsdf), np.asarray(self._weight), self.voxel_size
+            np.asarray(self._tsdf), np.asarray(self._weight), self.voxel_size,
+            with_normals=with_normals,
         )
 
 

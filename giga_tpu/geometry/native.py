@@ -1,0 +1,112 @@
+"""Build + load the native geometry kernels (ctypes over a g++-compiled .so).
+
+The C++ sources under ``csrc/`` are compiled once on first use into
+``_native.so`` next to this file (rebuilt when any source is newer). A pure
+numpy fallback covers environments without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC_DIR = _HERE / "csrc"
+_LIB_PATH = _HERE / "_native.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    sources = sorted(_SRC_DIR.glob("*.cpp"))
+    if not sources:
+        return False
+    if _LIB_PATH.exists() and all(
+        _LIB_PATH.stat().st_mtime >= s.stat().st_mtime for s in sources
+    ):
+        return True
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        *map(str, sources), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Returns the ctypes library or None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _build():
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.mesh_contains.restype = ctypes.c_int
+        lib.mesh_contains.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+        return _lib
+
+
+def check_mesh_contains(mesh, points: np.ndarray) -> np.ndarray:
+    """(N,) bool: is each point inside the (assumed watertight) mesh?
+
+    Native equivalent of the reference's libmesh check_mesh_contains
+    (ConvONets/utils/libmesh, used at utils/implicit.py:87).
+    """
+    points = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 3)
+    verts = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
+    faces = np.ascontiguousarray(mesh.faces, dtype=np.int64)
+    n = len(points)
+    if len(faces) == 0 or n == 0:
+        return np.zeros(n, dtype=bool)
+
+    lib = get_lib()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.uint8)
+        rc = lib.mesh_contains(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out.astype(bool)
+    return _contains_numpy(verts, faces, points)
+
+
+def _contains_numpy(verts, faces, points, chunk: int = 2048) -> np.ndarray:
+    """Vectorized numpy fallback: +z ray stabbing without spatial hashing."""
+    tri = verts[faces]  # (F, 3, 3)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    v0 = b[:, :2] - a[:, :2]
+    v1 = c[:, :2] - a[:, :2]
+    det = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]
+    ok = np.abs(det) > 1e-300
+    inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+
+    out = np.zeros(len(points), dtype=bool)
+    for s in range(0, len(points), chunk):
+        p = points[s : s + chunk]
+        q = p[:, None, :2] - a[None, :, :2]  # (P, F, 2)
+        u = (q[..., 0] * v1[:, 1] - q[..., 1] * v1[:, 0]) * inv_det
+        v = (v0[:, 0] * q[..., 1] - v0[:, 1] * q[..., 0]) * inv_det
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+        z = a[:, 2] + u * (b[:, 2] - a[:, 2]) + v * (c[:, 2] - a[:, 2])
+        above = hit & (z > p[:, None, 2])
+        out[s : s + chunk] = (above.sum(axis=1) % 2).astype(bool)
+    return out

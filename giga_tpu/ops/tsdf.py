@@ -85,7 +85,9 @@ def integrate_tsdf(
     return new_tsdf, new_weight
 
 
-@functools.partial(jax.jit, static_argnames=("size", "sdf_trunc", "depth_trunc"))
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "size", "sdf_trunc", "depth_trunc")
+)
 def fuse_views(
     depth_imgs: jax.Array,
     K: jax.Array,
@@ -119,19 +121,28 @@ def fuse_views(
     return tsdf, weight
 
 
-def extract_surface_points(tsdf: np.ndarray, weight: np.ndarray, voxel_size: float) -> np.ndarray:
+def extract_surface_points(
+    tsdf: np.ndarray, weight: np.ndarray, voxel_size: float, with_normals: bool = False
+):
     """Host-side surface point extraction at the 0.5 iso-level.
 
     Finds zero-crossings of (tsdf - 0.5) between observed neighbor voxels
     along each axis and linearly interpolates the crossing point, yielding an
     (N, 3) metric point cloud (equivalent role to Open3D's
-    ``extract_point_cloud`` used at perception.py:117-118).
+    ``extract_point_cloud`` used at perception.py:117-118). With
+    ``with_normals``, also returns unit normals from the central-difference
+    TSDF gradient (pointing from inside [low values] toward free space
+    [high values], i.e. out of the surface).
     """
     tsdf = np.asarray(tsdf)
     weight = np.asarray(weight)
     f = tsdf - 0.5
     obs = weight > 0
-    pts = []
+
+    if with_normals:
+        grad = np.stack(np.gradient(tsdf), axis=-1)
+
+    pts, nrms = [], []
     for axis in range(3):
         a = [slice(None)] * 3
         b = [slice(None)] * 3
@@ -147,6 +158,14 @@ def extract_surface_points(tsdf: np.ndarray, weight: np.ndarray, voxel_size: flo
         base = np.stack([ii, jj, kk], axis=1).astype(np.float64) + 0.5
         base[:, axis] += frac
         pts.append(base * voxel_size)
+        if with_normals:
+            g = grad[ii, jj, kk]
+            n = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+            nrms.append(n)
     if not pts:
-        return np.zeros((0, 3))
-    return np.concatenate(pts, axis=0)
+        empty = np.zeros((0, 3))
+        return (empty, empty.copy()) if with_normals else empty
+    points = np.concatenate(pts, axis=0)
+    if with_normals:
+        return points, np.concatenate(nrms, axis=0)
+    return points

@@ -110,6 +110,45 @@ def apply_aug_transform(voxel_grid, orientation, position_vox, rng):
     return voxel_grid, orientation, position
 
 
+class VGNDataset:
+    """Index-based dataset for the dense VGN baseline (reference:
+    src/vgn/dataset.py:10-42). Reads the PROCESSED root, whose grasp table is
+    in voxel units (i, j, k, width in voxels)."""
+
+    def __init__(self, root, augment: bool = False, seed: int = 0):
+        self.root = Path(root)
+        self.augment = augment
+        self.df = io.read_df(self.root)
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.df.index)
+
+    def __getitem__(self, i: int) -> dict:
+        scene_id = self.df.loc[i, "scene_id"]
+        ori = Rotation.from_quat(self.df.loc[i, "qx":"qw"].to_numpy(np.single))
+        pos = self.df.loc[i, "i":"k"].to_numpy(np.single)
+        width = np.float32(self.df.loc[i, "width"])
+        label = np.float32(self.df.loc[i, "label"])
+        voxel_grid = io.read_voxel_grid(self.root, scene_id)[0]
+
+        if self.augment:
+            voxel_grid, ori, pos = apply_aug_transform(voxel_grid, ori, pos, self.rng)
+
+        index = np.clip(np.round(pos), 0, voxel_grid.shape[0] - 1).astype(np.int32)
+        rotations = np.empty((2, 4), np.float32)
+        R = Rotation.from_rotvec(np.pi * np.r_[0.0, 0.0, 1.0])
+        rotations[0] = ori.as_quat()
+        rotations[1] = (ori * R).as_quat()
+        return {
+            "tsdf": voxel_grid.astype(np.float32),
+            "index": index,
+            "label": label,
+            "rotations": rotations,
+            "width": np.float32(width),
+        }
+
+
 class Loader:
     """Minimal shuffling batcher yielding stacked dict batches (drop_last)."""
 
@@ -133,11 +172,7 @@ class Loader:
             yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
-def create_train_val_loaders(root, raw_root, batch_size: int, val_split: float,
-                             augment: bool, num_point_occ: int = 2048,
-                             load_occ: bool = True, seed: int = 0):
-    """Random 0.9/0.1-style split (train_giga.py:123-138)."""
-    dataset = GraspDataset(root, raw_root, num_point_occ, augment, load_occ, seed)
+def _split_loaders(dataset, batch_size, val_split, seed):
     n = len(dataset)
     rng = np.random.RandomState(seed)
     perm = rng.permutation(n)
@@ -146,3 +181,18 @@ def create_train_val_loaders(root, raw_root, batch_size: int, val_split: float,
     train_loader = Loader(dataset, train_idx, batch_size, shuffle=True, seed=seed)
     val_loader = Loader(dataset, val_idx, batch_size, shuffle=False, seed=seed)
     return train_loader, val_loader
+
+
+def create_train_val_loaders(root, raw_root, batch_size: int, val_split: float,
+                             augment: bool, num_point_occ: int = 2048,
+                             load_occ: bool = True, seed: int = 0):
+    """Random 0.9/0.1-style split (train_giga.py:123-138)."""
+    dataset = GraspDataset(root, raw_root, num_point_occ, augment, load_occ, seed)
+    return _split_loaders(dataset, batch_size, val_split, seed)
+
+
+def create_vgn_train_val_loaders(root, batch_size: int, val_split: float,
+                                 augment: bool, seed: int = 0):
+    """Loaders for the dense VGN baseline (index-based processed dataset)."""
+    dataset = VGNDataset(root, augment=augment, seed=seed)
+    return _split_loaders(dataset, batch_size, val_split, seed)

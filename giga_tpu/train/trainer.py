@@ -34,18 +34,20 @@ class TrainState(train_state.TrainState):
 def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 40)):
     tsdf = jnp.zeros(tsdf_shape, jnp.float32)
     p = jnp.zeros((tsdf_shape[0], 1, 3), jnp.float32)
-    is_geo = isinstance(cfg, GIGAConfig) and cfg.tsdf_only
-    if is_geo:
+    if not isinstance(cfg, GIGAConfig):  # dense VGN baseline
+        params = net.init(rng, tsdf)
+    elif cfg.tsdf_only:
         params = net.init(rng, tsdf, None, p)
     else:
-        has_occ = isinstance(cfg, GIGAConfig) and cfg.decoder_tsdf
-        params = net.init(rng, tsdf, p, p if has_occ else None)
+        params = net.init(rng, tsdf, p, p if cfg.decoder_tsdf else None)
     tx = optax.adam(lr)
     return TrainState.create(apply_fn=net.apply, params=params, tx=tx)
 
 
-def make_loss_fn(net, cfg: GIGAConfig) -> Callable:
+def make_loss_fn(net, cfg) -> Callable:
     """Returns loss_fn(params, batch) -> (loss, (terms, outputs))."""
+    if not isinstance(cfg, GIGAConfig):
+        return make_vgn_loss_fn(net)
 
     def loss_fn(params, batch):
         p = batch["pos"][:, None, :]  # (B, 1, 3)
@@ -64,7 +66,40 @@ def make_loss_fn(net, cfg: GIGAConfig) -> Callable:
     return loss_fn
 
 
-def make_train_step(net, cfg: GIGAConfig, mesh=None, axis: str = "dp"):
+def make_vgn_loss_fn(net) -> Callable:
+    """Dense VGN objective (reference: scripts/train_vgn.py:150-188): predict
+    full volumes, select the labeled voxel, same composite loss but with
+    unscaled width MSE (widths are in voxel units)."""
+    from giga_tpu.train.loss import binary_cross_entropy, rot_loss
+
+    def loss_fn(params, batch):
+        qual, rot, width = net.apply(params, batch["tsdf"])
+        idx = batch["index"]
+        b = jnp.arange(qual.shape[0])
+        q = qual[b, idx[:, 0], idx[:, 1], idx[:, 2]]
+        r = rot[b, idx[:, 0], idx[:, 1], idx[:, 2]]
+        w = width[b, idx[:, 0], idx[:, 1], idx[:, 2]]
+        label = batch["label"]
+        l_qual = binary_cross_entropy(q, label)
+        l_rot = rot_loss(r, batch["rotations"])
+        l_width = (w - batch["width"]) ** 2
+        loss = (l_qual + label * (l_rot + 0.01 * l_width)).mean()
+        terms = {
+            "loss_qual": l_qual.mean(),
+            "loss_rot": l_rot.mean(),
+            "loss_width": l_width.mean(),
+            "loss_all": loss,
+        }
+        return loss, (terms, {"qual": q, "rot": r, "width": w})
+
+    return loss_fn
+
+
+def _is_geo(cfg) -> bool:
+    return isinstance(cfg, GIGAConfig) and cfg.tsdf_only
+
+
+def make_train_step(net, cfg, mesh=None, axis: str = "dp"):
     """Jitted SGD step. With a mesh, batch sharded / state replicated."""
     loss_fn = make_loss_fn(net, cfg)
 
@@ -73,7 +108,7 @@ def make_train_step(net, cfg: GIGAConfig, mesh=None, axis: str = "dp"):
             state.params, batch
         )
         state = state.apply_gradients(grads=grads)
-        if not cfg.tsdf_only:
+        if not _is_geo(cfg):
             terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
         return state, terms
 
@@ -89,12 +124,12 @@ def make_train_step(net, cfg: GIGAConfig, mesh=None, axis: str = "dp"):
     )
 
 
-def make_eval_step(net, cfg: GIGAConfig, mesh=None, axis: str = "dp"):
+def make_eval_step(net, cfg, mesh=None, axis: str = "dp"):
     loss_fn = make_loss_fn(net, cfg)
 
     def step(params, batch):
         loss, (terms, out) = loss_fn(params, batch)
-        if not cfg.tsdf_only:
+        if not _is_geo(cfg):
             terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
         return terms
 
