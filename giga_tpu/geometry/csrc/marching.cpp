@@ -1,0 +1,180 @@
+// Isosurface extraction from a dense scalar grid via marching tetrahedra.
+//
+// Native equivalent of the reference's libmcubes (marching cubes) extension:
+// same role (occupancy/TSDF grid -> triangle mesh at an iso level), different
+// algorithm — each cell is split into 6 tetrahedra sharing the main cube
+// diagonal, which avoids the marching-cubes ambiguity cases and the large
+// case tables while producing a watertight, consistently wound surface.
+//
+// Vertices are deduplicated across cells by hashing the (grid-edge) endpoint
+// pair; interpolation along an edge is symmetric so shared edges produce
+// identical positions. Output buffers are malloc'd here and released by
+// free_mesh_buffers().
+
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// 6-tetrahedra decomposition of the unit cube, all sharing diagonal 0-7.
+// Cube corner numbering: bit 0 -> +x, bit 1 -> +y, bit 2 -> +z.
+static const int TETS[6][4] = {
+    {0, 5, 1, 7}, {0, 1, 3, 7}, {0, 3, 2, 7},
+    {0, 2, 6, 7}, {0, 6, 4, 7}, {0, 4, 5, 7},
+};
+
+struct MeshBuilder {
+    std::vector<double> verts;
+    std::vector<int64_t> tris;
+    std::unordered_map<uint64_t, int64_t> edge_to_vertex;
+
+    // grid point linear ids of edge endpoints -> dedup key
+    int64_t vertex_on_edge(int64_t ga, int64_t gb, const double* pa, const double* pb,
+                           double va, double vb, double iso) {
+        if (ga > gb) {
+            std::swap(ga, gb);
+            std::swap(pa, pb);
+            std::swap(va, vb);
+        }
+        // exact packing: grid ids are < 2^32 for any realistic grid
+        uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
+        auto it = edge_to_vertex.find(key);
+        if (it != edge_to_vertex.end()) return it->second;
+        double t = (iso - va) / (vb - va);
+        t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+        int64_t idx = (int64_t)(verts.size() / 3);
+        verts.push_back(pa[0] + t * (pb[0] - pa[0]));
+        verts.push_back(pa[1] + t * (pb[1] - pa[1]));
+        verts.push_back(pa[2] + t * (pb[2] - pa[2]));
+        edge_to_vertex.emplace(key, idx);
+        return idx;
+    }
+
+    void add_tri(int64_t a, int64_t b, int64_t c) {
+        if (a == b || b == c || a == c) return;  // degenerate
+        tris.push_back(a);
+        tris.push_back(b);
+        tris.push_back(c);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// grid: (nx, ny, nz) row-major doubles. Emits vertices in INDEX coordinates
+// (0..nx-1 etc.). Triangles wind so normals point toward LOWER values
+// (outward for occupancy grids where inside > iso).
+int marching_tetrahedra(const double* grid, int64_t nx, int64_t ny, int64_t nz,
+                        double iso,
+                        double** out_verts, int64_t* out_nverts,
+                        int64_t** out_tris, int64_t* out_ntris) {
+    MeshBuilder mb;
+    const int64_t sx = ny * nz, sy = nz, sz = 1;
+
+    auto gid = [&](int64_t x, int64_t y, int64_t z) { return x * sx + y * sy + z; };
+
+    double corner_pos[8][3];
+    double corner_val[8];
+    int64_t corner_gid[8];
+
+    for (int64_t x = 0; x + 1 < nx; ++x)
+        for (int64_t y = 0; y + 1 < ny; ++y)
+            for (int64_t z = 0; z + 1 < nz; ++z) {
+                bool any_in = false, any_out = false;
+                for (int c = 0; c < 8; ++c) {
+                    int64_t cx = x + (c & 1), cy = y + ((c >> 1) & 1), cz = z + ((c >> 2) & 1);
+                    corner_gid[c] = gid(cx, cy, cz);
+                    corner_val[c] = grid[corner_gid[c]];
+                    corner_pos[c][0] = (double)cx;
+                    corner_pos[c][1] = (double)cy;
+                    corner_pos[c][2] = (double)cz;
+                    (corner_val[c] > iso ? any_in : any_out) = true;
+                }
+                if (!any_in || !any_out) continue;
+
+                for (int t = 0; t < 6; ++t) {
+                    const int* tet = TETS[t];
+                    int code = 0;
+                    for (int k = 0; k < 4; ++k)
+                        if (corner_val[tet[k]] > iso) code |= 1 << k;
+                    if (code == 0 || code == 15) continue;
+
+                    // collect inside/outside tet-corner indices
+                    int ins[4], outs[4], ni = 0, no = 0;
+                    for (int k = 0; k < 4; ++k)
+                        (code & (1 << k)) ? ins[ni++] = tet[k] : outs[no++] = tet[k];
+
+                    auto ev = [&](int a, int b) {
+                        return mb.vertex_on_edge(
+                            corner_gid[a], corner_gid[b], corner_pos[a], corner_pos[b],
+                            corner_val[a], corner_val[b], iso);
+                    };
+
+                    if (ni == 1) {  // one inside: single triangle around it
+                        int64_t v0 = ev(ins[0], outs[0]);
+                        int64_t v1 = ev(ins[0], outs[1]);
+                        int64_t v2 = ev(ins[0], outs[2]);
+                        mb.add_tri(v0, v1, v2);
+                    } else if (ni == 3) {  // one outside
+                        int64_t v0 = ev(outs[0], ins[0]);
+                        int64_t v1 = ev(outs[0], ins[1]);
+                        int64_t v2 = ev(outs[0], ins[2]);
+                        mb.add_tri(v0, v2, v1);
+                    } else {  // 2-2: quad -> two triangles
+                        int64_t v00 = ev(ins[0], outs[0]);
+                        int64_t v01 = ev(ins[0], outs[1]);
+                        int64_t v10 = ev(ins[1], outs[0]);
+                        int64_t v11 = ev(ins[1], outs[1]);
+                        mb.add_tri(v00, v01, v11);
+                        mb.add_tri(v00, v11, v10);
+                    }
+                }
+            }
+
+    // Fix winding: orient each triangle so its normal points toward lower
+    // field values (approximated by the local gradient).
+    auto value_at = [&](double px, double py, double pz) {
+        int64_t ix = (int64_t)px, iy = (int64_t)py, iz = (int64_t)pz;
+        ix = ix < 0 ? 0 : (ix >= nx ? nx - 1 : ix);
+        iy = iy < 0 ? 0 : (iy >= ny ? ny - 1 : iy);
+        iz = iz < 0 ? 0 : (iz >= nz ? nz - 1 : iz);
+        return grid[gid(ix, iy, iz)];
+    };
+    for (size_t t = 0; t < mb.tris.size(); t += 3) {
+        const double* a = &mb.verts[3 * mb.tris[t]];
+        const double* b = &mb.verts[3 * mb.tris[t + 1]];
+        const double* c = &mb.verts[3 * mb.tris[t + 2]];
+        double cx = (a[0] + b[0] + c[0]) / 3.0;
+        double cy = (a[1] + b[1] + c[1]) / 3.0;
+        double cz = (a[2] + b[2] + c[2]) / 3.0;
+        double nxv = (b[1] - a[1]) * (c[2] - a[2]) - (b[2] - a[2]) * (c[1] - a[1]);
+        double nyv = (b[2] - a[2]) * (c[0] - a[0]) - (b[0] - a[0]) * (c[2] - a[2]);
+        double nzv = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]);
+        double len = std::sqrt(nxv * nxv + nyv * nyv + nzv * nzv);
+        if (len < 1e-300) continue;
+        double h = 0.75;
+        double vp = value_at(cx + nxv / len * h, cy + nyv / len * h, cz + nzv / len * h);
+        double vm = value_at(cx - nxv / len * h, cy - nyv / len * h, cz - nzv / len * h);
+        if (vp > vm) std::swap(mb.tris[t + 1], mb.tris[t + 2]);  // flip toward outside
+    }
+
+    *out_nverts = (int64_t)(mb.verts.size() / 3);
+    *out_ntris = (int64_t)(mb.tris.size() / 3);
+    *out_verts = (double*)malloc(mb.verts.size() * sizeof(double));
+    *out_tris = (int64_t*)malloc(mb.tris.size() * sizeof(int64_t));
+    if ((!*out_verts && !mb.verts.empty()) || (!*out_tris && !mb.tris.empty())) return 1;
+    for (size_t i = 0; i < mb.verts.size(); ++i) (*out_verts)[i] = mb.verts[i];
+    for (size_t i = 0; i < mb.tris.size(); ++i) (*out_tris)[i] = mb.tris[i];
+    return 0;
+}
+
+void free_mesh_buffers(double* verts, int64_t* tris) {
+    free(verts);
+    free(tris);
+}
+
+}  // extern "C"

@@ -58,6 +58,20 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.marching_tetrahedra.restype = ctypes.c_int
+        lib.marching_tetrahedra.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.free_mesh_buffers.restype = None
+        lib.free_mesh_buffers.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -87,6 +101,39 @@ def check_mesh_contains(mesh, points: np.ndarray) -> np.ndarray:
         if rc == 0:
             return out.astype(bool)
     return _contains_numpy(verts, faces, points)
+
+
+def marching_tetrahedra(grid: np.ndarray, iso: float):
+    """Isosurface of a dense (nx, ny, nz) grid -> (vertices, faces).
+
+    Vertices are in index coordinates. Triangles wind so normals point toward
+    lower field values (outward for occupancy grids). Role of the reference's
+    libmcubes.marching_cubes (generation.py:374-379), via tetrahedra.
+    """
+    grid = np.ascontiguousarray(grid, dtype=np.float64)
+    nx, ny, nz = grid.shape
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native geometry kernel unavailable (g++ build failed)")
+    verts_p = ctypes.POINTER(ctypes.c_double)()
+    tris_p = ctypes.POINTER(ctypes.c_int64)()
+    nverts = ctypes.c_int64()
+    ntris = ctypes.c_int64()
+    rc = lib.marching_tetrahedra(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nx, ny, nz,
+        float(iso),
+        ctypes.byref(verts_p), ctypes.byref(nverts),
+        ctypes.byref(tris_p), ctypes.byref(ntris),
+    )
+    if rc != 0:
+        raise MemoryError("marching_tetrahedra allocation failed")
+    try:
+        nv, nt = nverts.value, ntris.value
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv * 3,)).copy().reshape(nv, 3) if nv else np.zeros((0, 3))
+        tris = np.ctypeslib.as_array(tris_p, shape=(nt * 3,)).copy().reshape(nt, 3) if nt else np.zeros((0, 3), np.int64)
+    finally:
+        lib.free_mesh_buffers(verts_p, tris_p)
+    return verts, tris
 
 
 def _contains_numpy(verts, faces, points, chunk: int = 2048) -> np.ndarray:
