@@ -78,3 +78,22 @@ class GIGANet(nn.Module):
     def query_feature(self, planes, p):
         """Sampled + concatenated plane features at p (for feature reuse)."""
         return query_planes(planes, p, self.cfg.decoder)
+
+    def grad_refine(self, tsdf, pos, bound_value: float = 0.0125,
+                    lr: float = 1e-6, num_step: int = 1):
+        """Gradient-ascent refinement of query positions on grasp quality
+        (reference: conv_onet/models/__init__.py:136-164). Returns
+        (qual, refined_pos, rot, width) after clamping to +-bound_value."""
+        planes = self.encode(tsdf)
+
+        def neg_qual_sum(p):
+            qual, _, _ = self.decode_affordance(planes, p)
+            return -qual.sum()
+
+        p = pos
+        for _ in range(num_step):
+            g = jax.grad(neg_qual_sum)(p)
+            p = p - lr * g
+        p = jnp.clip(p, pos - bound_value, pos + bound_value)
+        qual, rot, width = self.decode_affordance(planes, p)
+        return qual, p, rot, width

@@ -90,6 +90,62 @@ class StackedLocalDecoder(nn.Module):
         return out
 
 
+class FCDecoder(nn.Module):
+    """Single-linear decoder (reference: decoder.py:7-59): summed plane
+    features concatenated with the point -> Linear -> scalar."""
+
+    cfg: DecoderConfig = DecoderConfig()
+    out_dim: int = 1
+
+    @nn.compact
+    def __call__(self, planes: dict, p: jnp.ndarray):
+        from giga_tpu.ops.sampling import sample_grid, sample_plane
+
+        def one(planes_b, p_b):
+            c = 0
+            for t, plane in planes_b.items():
+                if t == "grid":
+                    c = c + sample_grid(plane, p_b, self.cfg.padding)
+                else:
+                    c = c + sample_plane(plane, p_b, t, self.cfg.padding)
+            return c
+
+        c = jax.vmap(one)(planes, p)
+        from giga_tpu.models.layers import TorchDense
+
+        out = TorchDense(self.out_dim, name="fc")(jnp.concatenate([c, p], axis=-1))
+        return out[..., 0] if self.out_dim == 1 else out
+
+
+class LocalPointDecoder(nn.Module):
+    """Point-interpolation decoder (reference: decoder.py:303-391): features
+    live on the input points; query features are gaussian-kernel weighted
+    averages of point features, then the usual ResNet-FC stack."""
+
+    cfg: DecoderConfig = DecoderConfig()
+    out_dim: int = 1
+    sigma: float = 0.1
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, point_feats: jnp.ndarray, p: jnp.ndarray):
+        """points (B, T, 3) + features (B, T, C); queries p (B, N, 3)."""
+        from giga_tpu.models.layers import ResnetBlockFC, TorchDense
+
+        cfg = self.cfg
+        h = cfg.hidden_size
+        # gaussian kernel weights: softmax over -||q - x||^2 / sigma^2
+        d2 = jnp.sum((p[:, :, None, :] - points[:, None, :, :]) ** 2, axis=-1)
+        w = jax.nn.softmax(-d2 / (self.sigma**2), axis=-1)
+        c = jnp.einsum("bnt,btc->bnc", w, point_feats)
+
+        net = TorchDense(h, name="fc_p")(p)
+        for i in range(cfg.n_blocks):
+            net = net + TorchDense(h, name=f"fc_c{i}")(c)
+            net = ResnetBlockFC(name=f"block{i}")(net)
+        out = TorchDense(self.out_dim, name="fc_out")(jax.nn.relu(net))
+        return out[..., 0] if self.out_dim == 1 else out
+
+
 def query_planes(planes: dict, p: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     """Sample + concat plane features for a batch of query sets.
 

@@ -101,6 +101,45 @@ def sample_planes_concat(planes: dict, p: jnp.ndarray, padding: float = 0.0):
     return jnp.concatenate(feats, axis=-1)
 
 
+def sample_grid(grid: jnp.ndarray, p: jnp.ndarray, padding: float = 0.0):
+    """Trilinearly sample a 3D feature grid at query points.
+
+    Mirrors the reference's sample_grid_feature (decoder.py:124-130):
+    normalize_3d_coordinate (1e-3 epsilon), then grid_sample(bilinear, border,
+    align_corners=True) — which is trilinear for 5D inputs.
+
+    Args:
+        grid: (D, H, W, C) laid out [z, y, x, c] (the scatter_mean_grid
+            layout, flat index x + R*(y + R*z)).
+        p: (N, 3) points in [-0.5, 0.5]^3.
+    Returns:
+        (N, C).
+    """
+    u = normalize_3d_coordinate(p, padding)
+    D, H, W, _ = grid.shape
+    # torch grid_sample coords (x, y, z) index (W, H, D)
+    fx = jnp.clip(u[:, 0] * (W - 1), 0.0, W - 1)
+    fy = jnp.clip(u[:, 1] * (H - 1), 0.0, H - 1)
+    fz = jnp.clip(u[:, 2] * (D - 1), 0.0, D - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(W - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(H - 2, 0))
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, max(D - 2, 0))
+    wx = (fx - x0)[:, None]
+    wy = (fy - y0)[:, None]
+    wz = (fz - z0)[:, None]
+
+    def at(dz, dy, dx):
+        return grid[z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = at(0, 0, 0) * (1 - wx) + at(0, 0, 1) * wx
+    c01 = at(0, 1, 0) * (1 - wx) + at(0, 1, 1) * wx
+    c10 = at(1, 0, 0) * (1 - wx) + at(1, 0, 1) * wx
+    c11 = at(1, 1, 0) * (1 - wx) + at(1, 1, 1) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
+
+
 def interp_matrix_1d(coords: jnp.ndarray, reso: int, padding: float = 0.0) -> jnp.ndarray:
     """(N, reso) matrix M with M @ f == bilinear 1D interpolation of f at coords.
 
