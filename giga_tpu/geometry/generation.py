@@ -32,7 +32,8 @@ class MeshGenerator:
 
     def __init__(self, net, params, threshold: float = 0.5, resolution0: int = 32,
                  upsampling_steps: int = 2, points_batch_size: int = 100000,
-                 padding: float = 0.0):
+                 padding: float = 0.0, simplify_nfaces: int | None = None,
+                 refinement_step: int = 0):
         self.net = net
         self.params = params
         self.threshold = float(threshold)
@@ -40,6 +41,8 @@ class MeshGenerator:
         self.upsampling_steps = upsampling_steps
         self.points_batch_size = points_batch_size
         self.padding = padding
+        self.simplify_nfaces = simplify_nfaces
+        self.refinement_step = refinement_step
         self._planes = None
 
     def encode(self, tsdf_grid: np.ndarray):
@@ -99,4 +102,62 @@ class MeshGenerator:
         n = value_grid.shape[0]
         verts = verts / (n - 1)  # [0, 1]
         verts = box_size * (verts - 0.5)
-        return TriMesh(verts, faces)
+        mesh = TriMesh(verts, faces)
+
+        if self.simplify_nfaces is not None and len(mesh.faces) > self.simplify_nfaces:
+            from giga_tpu.geometry.native import simplify_mesh
+
+            t0 = time.time()
+            v2, f2 = simplify_mesh(mesh, self.simplify_nfaces)
+            mesh = TriMesh(v2, f2)
+            stats["time (simplify)"] = time.time() - t0
+
+        if self.refinement_step > 0 and len(mesh.vertices):
+            t0 = time.time()
+            mesh = self.refine_mesh(mesh, self.refinement_step)
+            stats["time (refine)"] = time.time() - t0
+        return mesh
+
+    def refine_mesh(self, mesh: TriMesh, steps: int, lr: float = 1e-4) -> TriMesh:
+        """Gradient-based vertex refinement (reference generation.py:457-519):
+        move face-sample points onto the decision boundary and align face
+        normals with the field gradient, by RMSprop on the vertices."""
+        import jax
+        import optax
+
+        faces = jnp.asarray(mesh.faces)
+        v = jnp.asarray(mesh.vertices, jnp.float32)
+        planes = self._planes
+        net, params = self.net, self.params
+
+        def occ_logits(points):
+            return net.apply(params, planes, points[None], method="decode_occupancy")[0]
+
+        def loss_fn(verts, key):
+            tri = verts[faces]  # (F, 3, 3)
+            w = jax.random.dirichlet(key, jnp.ones(3), (tri.shape[0],))
+            pts = jnp.einsum("fk,fkd->fd", w, tri)
+            logits = occ_logits(pts)
+            target = jax.nn.sigmoid(logits)
+            loss_target = ((target - 0.5) ** 2).mean()
+            grad = jax.grad(lambda p: occ_logits(p).sum())(pts)
+            n_pred = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-9)
+            fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            fn = fn / (jnp.linalg.norm(fn, axis=-1, keepdims=True) + 1e-9)
+            loss_normal = ((fn + n_pred) ** 2).sum(-1).mean()
+            return loss_target + 0.01 * loss_normal
+
+        opt = optax.rmsprop(lr)
+        state = opt.init(v)
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def step(vv, ss, kk):
+            g = jax.grad(loss_fn)(vv, kk)
+            updates, ss = opt.update(g, ss)
+            return optax.apply_updates(vv, updates), ss
+
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            v, state = step(v, state, sub)
+        return TriMesh(np.asarray(v), mesh.faces)

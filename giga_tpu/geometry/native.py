@@ -72,6 +72,16 @@ def get_lib():
         lib.free_mesh_buffers.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.simplify_mesh.restype = ctypes.c_int
+        lib.simplify_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -134,6 +144,39 @@ def marching_tetrahedra(grid: np.ndarray, iso: float):
     finally:
         lib.free_mesh_buffers(verts_p, tris_p)
     return verts, tris
+
+
+def simplify_mesh(mesh, target_faces: int, aggressiveness: float = 7.0):
+    """Quadric-error-metric decimation -> new (vertices, faces).
+
+    Role of the reference's libsimplify (generation.py:417-420). Best-effort:
+    stops early if no more collapses pass the flip check.
+    """
+    verts = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
+    faces = np.ascontiguousarray(mesh.faces, dtype=np.int64)
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native geometry kernel unavailable (g++ build failed)")
+    overts_p = ctypes.POINTER(ctypes.c_double)()
+    ofaces_p = ctypes.POINTER(ctypes.c_int64)()
+    onv = ctypes.c_int64()
+    onf = ctypes.c_int64()
+    rc = lib.simplify_mesh(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+        int(target_faces), float(aggressiveness),
+        ctypes.byref(overts_p), ctypes.byref(onv),
+        ctypes.byref(ofaces_p), ctypes.byref(onf),
+    )
+    if rc != 0:
+        raise MemoryError("simplify_mesh allocation failed")
+    try:
+        nv, nf2 = onv.value, onf.value
+        out_v = np.ctypeslib.as_array(overts_p, shape=(nv * 3,)).copy().reshape(nv, 3) if nv else np.zeros((0, 3))
+        out_f = np.ctypeslib.as_array(ofaces_p, shape=(nf2 * 3,)).copy().reshape(nf2, 3) if nf2 else np.zeros((0, 3), np.int64)
+    finally:
+        lib.free_mesh_buffers(overts_p, ofaces_p)
+    return out_v, out_f
 
 
 def _contains_numpy(verts, faces, points, chunk: int = 2048) -> np.ndarray:

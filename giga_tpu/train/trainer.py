@@ -166,14 +166,34 @@ class Trainer:
     train_cfg: TrainConfig
     mesh: object = None
     logdir: Optional[Path] = None
+    use_orbax: bool = False
 
     def __post_init__(self):
         self.train_step = make_train_step(self.net, self.model_cfg, self.mesh)
         self.eval_step = make_eval_step(self.net, self.model_cfg, self.mesh)
         self.best_score = -np.inf
+        self.ckpt_mgr = None
+        self.start_epoch = 1
         if self.logdir is not None:
             self.logdir = Path(self.logdir)
             self.logdir.mkdir(parents=True, exist_ok=True)
+            if self.use_orbax:
+                from giga_tpu.train.checkpoint import CheckpointManager
+
+                self.ckpt_mgr = CheckpointManager(self.logdir / "orbax")
+
+    def try_resume(self, state):
+        """Resume from the latest orbax checkpoint (params+opt state+epoch)."""
+        if self.ckpt_mgr is None:
+            return state
+        restored = self.ckpt_mgr.restore(state)
+        if restored is None:
+            return state
+        state, metrics, epoch = restored
+        self.start_epoch = epoch + 1
+        self.best_score = metrics.get("best_score", -np.inf)
+        print(f"resumed from epoch {epoch}")
+        return state
 
     def _put(self, batch):
         if self.mesh is None:
@@ -184,7 +204,8 @@ class Trainer:
 
     def fit(self, state: TrainState, train_loader, val_loader, epochs: int, log=print):
         history = []
-        for epoch in range(1, epochs + 1):
+        state = self.try_resume(state)
+        for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()
             accum = []
             for batch in train_loader:
@@ -208,7 +229,7 @@ class Trainer:
 
             if self.logdir is not None:
                 self._log_csv(history)
-                self._checkpoint(state, val_metrics)
+                self._checkpoint(state, val_metrics, epoch)
         return state, history
 
     def _score(self, val_metrics):
@@ -216,14 +237,19 @@ class Trainer:
         v = val_metrics.get(key, -np.inf)
         return v if key == "accuracy" else -v
 
-    def _checkpoint(self, state, val_metrics):
+    def _checkpoint(self, state, val_metrics, epoch: int = 0):
         from giga_tpu.models.registry import save_params
 
-        save_params(state.params, self.logdir / f"{self.model_cfg.name}_last.msgpack")
+        name = getattr(self.model_cfg, "name", "model")
+        save_params(state.params, self.logdir / f"{name}_last.msgpack")
         score = self._score(val_metrics)
         if score > self.best_score:
             self.best_score = score
-            save_params(state.params, self.logdir / f"{self.model_cfg.name}_best.msgpack")
+            save_params(state.params, self.logdir / f"{name}_best.msgpack")
+        if self.ckpt_mgr is not None:
+            self.ckpt_mgr.save(
+                epoch, state, {**val_metrics, "best_score": self.best_score}
+            )
 
     def _log_csv(self, history):
         import json

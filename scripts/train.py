@@ -65,7 +65,8 @@ def main(args):
 
         state = replicate(mesh, state)
 
-    trainer = Trainer(net, model_cfg, train_cfg, mesh=mesh, logdir=logdir)
+    trainer = Trainer(net, model_cfg, train_cfg, mesh=mesh, logdir=logdir,
+                      use_orbax=args.orbax)
     trainer.fit(state, train_loader, val_loader, epochs=args.epochs)
 
 
@@ -86,4 +87,6 @@ if __name__ == "__main__":
     parser.add_argument("--load-path", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    parser.add_argument("--orbax", action="store_true",
+                        help="full-state orbax checkpointing with auto-resume")
     main(parser.parse_args())
