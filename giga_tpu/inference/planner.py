@@ -47,10 +47,19 @@ def _lattice_positions(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig, size: float):
-    """Returns jitted (params, tsdf (R,R,R), tsdf_process (R,R,R)) -> (GraspCandidates, qual_vol, rot_vol, width_vol)."""
+def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig, size: float,
+                          use_pallas: bool = False):
+    """Returns jitted (params, tsdf (R,R,R), tsdf_process (R,R,R)) -> (GraspCandidates, qual_vol, rot_vol, width_vol).
+
+    ``use_pallas`` selects the fused-trunk Pallas decode on TPU. Measured on
+    v5e: the Pallas kernel wins in isolation (0.087 vs 0.098 ms) but inside
+    the full planner XLA's cross-op fusion wins (0.117 vs 0.153 ms
+    end-to-end), so the XLA path is the default; the kernel is kept for
+    larger lattices / batched serving where the fused trunk pays off.
+    """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
+    pallas_ok = use_pallas and jax.default_backend() == "tpu"
 
     def plan(params, tsdf, tsdf_process):
         p = params["params"]
@@ -60,7 +69,14 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
         feats = sample_planes_on_lattice(
             planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
         )
-        qual, rot, width = decode_affordance_dense(p["decoder_aff"], feats, coords, n_blocks)
+        if pallas_ok:
+            from giga_tpu.ops.pallas.decoder_kernel import decode_affordance_dense_pallas
+
+            qual, rot, width = decode_affordance_dense_pallas(
+                p["decoder_aff"], feats, coords, n_blocks
+            )
+        else:
+            qual, rot, width = decode_affordance_dense(p["decoder_aff"], feats, coords, n_blocks)
         raw = (qual, rot, width)
         qual = mask_quality(qual, tsdf_process, width, planner_cfg)
         qual = bound_quality(qual, voxel_size, planner_cfg)

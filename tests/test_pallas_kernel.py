@@ -1,0 +1,33 @@
+"""Pallas fused-decoder kernel parity (interpreter mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from giga_tpu.inference.dense_decode import (
+    decode_affordance_dense,
+    lattice_coords,
+    sample_planes_on_lattice,
+)
+from giga_tpu.models.registry import get_network
+from giga_tpu.ops.pallas.decoder_kernel import decode_affordance_dense_pallas
+
+
+def test_fused_kernel_matches_xla_path():
+    net, cfg = get_network("giga")
+    tsdf = jnp.zeros((1, 40, 40, 40))
+    p = jnp.zeros((1, 4, 3))
+    params = net.init(jax.random.PRNGKey(0), tsdf, p, p)
+    rng = np.random.RandomState(0)
+    grid = jnp.asarray(rng.rand(1, 40, 40, 40).astype(np.float32))
+    planes = {t: v[0] for t, v in net.apply(params, grid, method="encode").items()}
+    coords = lattice_coords(40)
+    feats = sample_planes_on_lattice(planes, coords, 40, 0.0)
+    dp = params["params"]["decoder_aff"]
+
+    q1, r1, w1 = decode_affordance_dense(dp, feats, coords)
+    q2, r2, w2 = decode_affordance_dense_pallas(dp, feats, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
