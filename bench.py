@@ -75,12 +75,26 @@ def main():
     pipelined_sps = iters / (time.perf_counter() - t0)
     log(f"pipelined throughput: {pipelined_sps:.1f} scenes/s")
 
+    # batched serving throughput (vmapped full pipeline)
+    B = 64
+    batch = jnp.stack([grids[i % 16] for i in range(B)])
+    vplan = jax.jit(jax.vmap(plan.__wrapped__, in_axes=(None, 0, 0)))
+    jax.block_until_ready(vplan(params, batch, batch))
+    ts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(vplan(params, batch, batch))
+        ts.append(time.perf_counter() - t0)
+    batched_sps = B / float(np.median(ts))
+    log(f"batched (B={B}) throughput: {batched_sps:.1f} scenes/s")
+
     result = {
         "metric": "giga_planner_scenes_per_sec",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
         "pipelined_scenes_per_sec": round(pipelined_sps, 2),
+        "batched_scenes_per_sec": round(batched_sps, 2),
         "single_scene_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))
