@@ -88,6 +88,32 @@ def main():
     batched_sps = B / float(np.median(ts))
     log(f"batched (B={B}) throughput: {batched_sps:.1f} scenes/s")
 
+    # training-step throughput (batch 32, 2048 occ points — reference defaults)
+    from giga_tpu.train.trainer import create_train_state, make_train_step
+
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(net, cfg)
+    Bt, Nt = 32, 2048
+    batch = {
+        "tsdf": jnp.asarray(rng_np.rand(Bt, 40, 40, 40), jnp.float32),
+        "pos": jnp.asarray(rng_np.uniform(-0.4, 0.4, (Bt, 3)), jnp.float32),
+        "label": jnp.asarray(rng_np.randint(0, 2, Bt), jnp.float32),
+        "rotations": jnp.asarray(rng_np.randn(Bt, 2, 4), jnp.float32),
+        "width": jnp.asarray(rng_np.rand(Bt), jnp.float32),
+        "pos_occ": jnp.asarray(rng_np.uniform(-0.4, 0.4, (Bt, Nt, 3)), jnp.float32),
+        "occ": jnp.asarray(rng_np.randint(0, 2, (Bt, Nt)), jnp.float32),
+    }
+    state, terms = step(state, batch)
+    jax.block_until_ready(terms["loss_all"])
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        state, terms = step(state, batch)
+        jax.block_until_ready(terms["loss_all"])
+        ts.append(time.perf_counter() - t0)
+    train_sps = Bt / float(np.median(ts))
+    log(f"train step (B={Bt}): {np.median(ts) * 1e3:.2f} ms -> {train_sps:.0f} samples/s")
+
     result = {
         "metric": "giga_planner_scenes_per_sec",
         "value": round(scenes_per_sec, 2),
@@ -95,6 +121,7 @@ def main():
         "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
         "pipelined_scenes_per_sec": round(pipelined_sps, 2),
         "batched_scenes_per_sec": round(batched_sps, 2),
+        "train_samples_per_sec": round(train_sps, 2),
         "single_scene_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))

@@ -18,6 +18,18 @@ from giga_tpu.core.config import UNet2DConfig
 from giga_tpu.models.layers import ConvTranspose2x2, TorchConv
 
 
+def max_pool_2x2(x):
+    """2x2 stride-2 max pool as reshape+max.
+
+    Equivalent to nn.max_pool(window 2, stride 2) but its gradient lowers to
+    cheap elementwise selects instead of TPU's slow SelectAndScatter (the
+    reduce_window backward), which dominated the U-Net backward pass.
+    """
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.max(axis=(2, 4))
+
+
 class DownConv(nn.Module):
     """Two 3x3 convs (+ReLU) with an optional 2x2 max-pool."""
 
@@ -30,7 +42,7 @@ class DownConv(nn.Module):
         x = jax.nn.relu(TorchConv(self.features, 3, xavier=True, name="conv2")(x))
         before_pool = x
         if self.pooling:
-            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            x = max_pool_2x2(x)
         return x, before_pool
 
 
