@@ -117,6 +117,53 @@ class FCDecoder(nn.Module):
         return out[..., 0] if self.out_dim == 1 else out
 
 
+class PatchLocalDecoder(nn.Module):
+    """Crop-trained decoder (reference: decoder.py:208-301): plane features
+    are sampled with pre-normalized crop coordinates ('p_n'), and positions
+    enter through per-voxel local coords with optional sin/cos encoding."""
+
+    cfg: DecoderConfig = DecoderConfig()
+    out_dim: int = 1
+    local_coord: bool = True
+    unit_size: float = 0.1
+    pos_encoding: str = "linear"
+
+    @nn.compact
+    def __call__(self, p: jnp.ndarray, p_n: dict, planes: dict):
+        """p (B, N, 3) raw points; p_n {t: (B, N, 2|3)} crop-normalized coords."""
+        from giga_tpu.models.layers import ResnetBlockFC, TorchDense
+        from giga_tpu.ops.sampling import map2local
+
+        cfg = self.cfg
+        h = cfg.hidden_size
+
+        def sample_normalized(plane, u):
+            """Bilinear sample with coords already in [0, 1]."""
+            H, W, _ = plane.shape
+            fx = jnp.clip(u[:, 0] * (W - 1), 0.0, W - 1)
+            fy = jnp.clip(u[:, 1] * (H - 1), 0.0, H - 1)
+            x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2)
+            y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2)
+            wx = (fx - x0)[:, None]
+            wy = (fy - y0)[:, None]
+            top = plane[y0, x0] * (1 - wx) + plane[y0, x0 + 1] * wx
+            bot = plane[y0 + 1, x0] * (1 - wx) + plane[y0 + 1, x0 + 1] * wx
+            return top * (1 - wy) + bot * wy
+
+        c = 0
+        for t, plane in planes.items():
+            c = c + jax.vmap(sample_normalized)(plane, p_n[t])
+
+        if self.local_coord:
+            p = map2local(p, self.unit_size, self.pos_encoding)
+        net = TorchDense(h, name="fc_p")(p)
+        for i in range(cfg.n_blocks):
+            net = net + TorchDense(h, name=f"fc_c{i}")(c)
+            net = ResnetBlockFC(name=f"block{i}")(net)
+        out = TorchDense(self.out_dim, name="fc_out")(jax.nn.relu(net))
+        return out[..., 0] if self.out_dim == 1 else out
+
+
 class LocalPointDecoder(nn.Module):
     """Point-interpolation decoder (reference: decoder.py:303-391): features
     live on the input points; query features are gaussian-kernel weighted

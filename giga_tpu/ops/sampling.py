@@ -101,6 +101,40 @@ def sample_planes_concat(planes: dict, p: jnp.ndarray, padding: float = 0.0):
     return jnp.concatenate(feats, axis=-1)
 
 
+def normalize_coord(p: jnp.ndarray, vol_range, plane_type: str = "xz"):
+    """Normalize points to [0, 1] within an explicit volume range and project
+    onto a plane ('grid' keeps 3D) — the sliding-window-crop variant
+    (reference: common.py:281-301)."""
+    lo = jnp.asarray(vol_range[0])
+    hi = jnp.asarray(vol_range[1])
+    u = (p - lo) / (hi - lo)
+    if plane_type == "grid":
+        return u
+    a0, a1 = PLANE_AXES[plane_type]
+    return u[..., (a0, a1)]
+
+
+def positional_encoding_sincos(p: jnp.ndarray, num_freqs: int = 10):
+    """NeRF-style sin/cos encoding (reference: common.py:422-444).
+
+    p in [0, 1] -> mapped to [-1, 1] -> [sin(f pi p), cos(f pi p)] for
+    f = 2^0..2^(L-1); output dim = 2 * L * D (=60 for D=3, L=10).
+    """
+    freqs = (2.0 ** jnp.arange(num_freqs)) * jnp.pi
+    x = 2.0 * p - 1.0
+    args = x[..., None, :] * freqs[:, None]  # (..., L, D)
+    enc = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)  # (..., L, 2D)
+    return enc.reshape(*p.shape[:-1], -1)
+
+
+def map2local(p: jnp.ndarray, unit_size: float, pos_encoding: str = "linear"):
+    """Map points to per-voxel local coordinates (reference: common.py:404-420)."""
+    local = jnp.remainder(p, unit_size) / unit_size
+    if pos_encoding == "sin_cos":
+        return positional_encoding_sincos(local)
+    return local
+
+
 def sample_grid(grid: jnp.ndarray, p: jnp.ndarray, padding: float = 0.0):
     """Trilinearly sample a 3D feature grid at query points.
 
