@@ -53,16 +53,30 @@ class MeshGenerator:
         return planes
 
     def eval_occ_logits(self, points: np.ndarray) -> np.ndarray:
-        """(N, 3) points in [-0.5, 0.5] -> (N,) occupancy logits, chunked."""
+        """(N, 3) points in [-0.5, 0.5] -> (N,) occupancy logits.
+
+        Chunks are zero-padded to a fixed size so every call hits one
+        compiled executable regardless of how many points each refinement
+        level produces (dynamic shapes would recompile per level).
+        """
         assert self._planes is not None, "call encode() first"
+        n = len(points)
+        if n == 0:
+            return np.zeros(0, np.float32)
+        cs = min(self.points_batch_size, max(4096, 1 << int(np.ceil(np.log2(n)))))
         outs = []
-        for s in range(0, len(points), self.points_batch_size):
-            chunk = jnp.asarray(points[s : s + self.points_batch_size], jnp.float32)
+        for s in range(0, n, cs):
+            chunk = points[s : s + cs]
+            pad = cs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
             logits = self.net.apply(
-                self.params, self._planes, chunk[None], method="decode_occupancy"
+                self.params, self._planes, jnp.asarray(chunk, jnp.float32)[None],
+                method="decode_occupancy",
             )
-            outs.append(np.asarray(logits[0]))
-        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+            out = np.asarray(logits[0])
+            outs.append(out[: cs - pad] if pad else out)
+        return np.concatenate(outs)
 
     def generate_mesh(self, tsdf_grid: np.ndarray, return_stats: bool = True):
         """TSDF grid -> (mesh in [-0.5, 0.5]^3 coords[, stats dict])."""
