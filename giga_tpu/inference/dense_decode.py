@@ -54,7 +54,8 @@ def _linear(x, kernel, bias, precision=HI):
     return jnp.einsum("...c,ck->...k", x, kernel, precision=precision) + bias
 
 
-def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5):
+def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5,
+                 shard_constraint=None):
     """Run the stacked decoder heads on the full R^3 lattice.
 
     Args:
@@ -62,6 +63,10 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
         feats: {t: (R, R, C)} per-plane lattice features from
             ``sample_planes_on_lattice``.
         coords: (R,) per-axis query coordinates.
+        shard_constraint: optional NamedSharding applied to the (e, Rx, Ry,
+            Rz, h) hidden state — sharding the x axis over a device mesh
+            makes GSPMD partition the whole trunk (the decode is a pure map
+            over queries; plane features are tiny and replicate).
     Returns:
         (heads, R, R, R, out_dim) raw outputs, indexed [h, ix, iy, iz, o].
     """
@@ -84,6 +89,8 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
         + pz[:, None, None, :, :]
         + b_p[:, None, None, None, :]
     )  # (e, R, R, R, h)
+    if shard_constraint is not None:
+        net = jax.lax.with_sharding_constraint(net, shard_constraint)
 
     def block(net, i):
         # fc_c[i] split into per-plane projections on the 2D lattices
@@ -121,12 +128,13 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
     return out
 
 
-def decode_affordance_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5):
+def decode_affordance_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5,
+                            shard_constraint=None):
     """(qual, rot, width) volumes from the stacked affordance decoder.
 
     qual: (R,R,R) sigmoid; rot: (R,R,R,4) normalized; width: (R,R,R).
     """
-    out = decode_dense(dec_params, feats, coords, n_blocks)
+    out = decode_dense(dec_params, feats, coords, n_blocks, shard_constraint)
     qual = jax.nn.sigmoid(out[0, ..., 0])
     rot = out[1]
     rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)

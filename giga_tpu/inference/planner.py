@@ -86,6 +86,41 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
     return jax.jit(plan)
 
 
+def build_sharded_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig,
+                                  size: float, mesh, axis: str = "sp"):
+    """Spatially-sharded planner: the dense R^3 decode is partitioned along
+    its x axis over a device mesh (SURVEY §2.3's 'spatial sharding of the
+    grid-decode'). The decode is a pure map over query points and the plane
+    features are ~600 KB, so they replicate and no halo exchange is needed
+    in the trunk; GSPMD inserts halos only for the small postprocess stencils.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    voxel_size = size / planner_cfg.resolution
+    n_blocks = model_cfg.decoder.n_blocks
+    net_sharding = NamedSharding(mesh, P(None, axis))  # (heads, Rx, Ry, Rz, h)
+    repl = NamedSharding(mesh, P())
+
+    def plan(params, tsdf, tsdf_process):
+        p = params["params"]
+        planes = net.apply({"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode")
+        planes = {t: v[0] for t, v in planes.items()}
+        coords = lattice_coords(planner_cfg.resolution)
+        feats = sample_planes_on_lattice(
+            planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
+        )
+        qual, rot, width = decode_affordance_dense(
+            p["decoder_aff"], feats, coords, n_blocks, shard_constraint=net_sharding
+        )
+        raw = (qual, rot, width)
+        qual = mask_quality(qual, tsdf_process, width, planner_cfg)
+        qual = bound_quality(qual, voxel_size, planner_cfg)
+        cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
+        return cands, raw
+
+    return jax.jit(plan, in_shardings=(repl, repl, repl), out_shardings=repl)
+
+
 def build_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float):
     """VGN dense path; widths/positions are in voxel units (reference detection.py)."""
     voxel_size = size / 40.0
