@@ -1,8 +1,8 @@
 """Multi-seed clutter-removal benchmark CLI
-(reference: scripts/sim_grasp_multiple.py).
+(protocol of reference scripts/sim_grasp_multiple.py: 100 rounds x 5 objects
+per seed, seeds {0..4}, GSR/DR aggregated mean +- std to JSON).
 
-Dispatches giga/giga_aff -> GIGAPlanner, vgn -> VGNPlanner, runs the
-benchmark for each seed and writes mean +- std GSR/DR to JSON.
+Dispatch: giga / giga_aff / giga_detach -> GIGAPlanner, vgn -> VGNPlanner.
 """
 
 import argparse
@@ -18,25 +18,48 @@ from giga_tpu.experiments import clutter_removal
 from giga_tpu.inference.planner import GIGAPlanner, VGNPlanner
 from giga_tpu.sim.noise import set_random_seed
 
+FLAGS = [
+    # (name, kwargs)
+    ("--model", dict(type=Path, required=True)),
+    ("--type", dict(type=str, required=True)),
+    ("--logdir", dict(type=Path, default=Path("data/experiments"))),
+    ("--description", dict(type=str, default="")),
+    ("--scene", dict(type=str, choices=["pile", "packed"], default="pile")),
+    ("--object-set", dict(type=str, default="blocks")),
+    ("--num-objects", dict(type=int, default=5)),
+    ("--num-view", dict(type=int, default=1)),
+    ("--num-rounds", dict(type=int, default=100)),
+    ("--seeds", dict(type=int, nargs="+", default=[0, 1, 2, 3, 4])),
+    ("--qual-th", dict(type=float, default=0.9)),
+    ("--result-path", dict(type=str)),
+    ("--add-noise", dict(type=str, default="")),
+    ("--sim-gui", dict(action="store_true")),
+    ("--best", dict(action="store_true", help="take the best grasp instead of a random valid one")),
+    ("--force", dict(action="store_true", help="fall back to the best sub-threshold grasp")),
+    ("--sideview", dict(action="store_true")),
+    ("--silence", dict(action="store_true")),
+    ("--vis", dict(action="store_true")),
+]
+
+
+def build_planner(args):
+    common = dict(
+        best=args.best, qual_th=args.qual_th, force_detection=args.force,
+        out_th=0.1, visualize=args.vis,
+    )
+    if args.type in ("giga", "giga_aff", "giga_detach"):
+        return GIGAPlanner(args.model, args.type, **common)
+    if args.type == "vgn":
+        return VGNPlanner(args.model, args.type, **common)
+    raise NotImplementedError(f"model type {args.type!r} not implemented")
+
 
 def main(args):
-    if args.type in ("giga", "giga_aff", "giga_detach"):
-        planner = GIGAPlanner(
-            args.model, args.type, best=args.best, qual_th=args.qual_th,
-            force_detection=args.force, out_th=0.1, visualize=args.vis,
-        )
-    elif args.type == "vgn":
-        planner = VGNPlanner(
-            args.model, args.type, best=args.best, qual_th=args.qual_th,
-            force_detection=args.force, out_th=0.1, visualize=args.vis,
-        )
-    else:
-        raise NotImplementedError(f"model type {args.type} not implemented")
-
-    gsr, dr = [], []
+    planner = build_planner(args)
+    per_seed = {"gsr": [], "dr": []}
     for seed in args.seeds:
         set_random_seed(seed)
-        success_rate, declutter_rate = clutter_removal.run(
+        gsr, dr = clutter_removal.run(
             grasp_plan_fn=planner,
             logdir=args.logdir,
             description=args.description,
@@ -52,40 +75,22 @@ def main(args):
             silence=args.silence,
             visualize=args.vis,
         )
-        gsr.append(success_rate)
-        dr.append(declutter_rate)
+        per_seed["gsr"].append(gsr)
+        per_seed["dr"].append(dr)
 
-    results = {
-        "gsr": {"mean": float(np.mean(gsr)), "std": float(np.std(gsr)), "val": gsr},
-        "dr": {"mean": float(np.mean(dr)), "std": float(np.std(dr)), "val": dr},
+    summary = {
+        k: {"mean": float(np.mean(v)), "std": float(np.std(v)), "val": v}
+        for k, v in per_seed.items()
     }
     print("Average results:")
-    print(f"Grasp success rate: {np.mean(gsr):.2f} +- {np.std(gsr):.2f} %")
-    print(f"Declutter rate: {np.mean(dr):.2f} +- {np.std(dr):.2f} %")
+    print(f"Grasp success rate: {summary['gsr']['mean']:.2f} +- {summary['gsr']['std']:.2f} %")
+    print(f"Declutter rate: {summary['dr']['mean']:.2f} +- {summary['dr']['std']:.2f} %")
     if args.result_path:
-        with open(args.result_path, "w") as f:
-            json.dump(results, f, indent=2)
+        Path(args.result_path).write_text(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", type=Path, required=True)
-    parser.add_argument("--type", type=str, required=True)
-    parser.add_argument("--logdir", type=Path, default=Path("data/experiments"))
-    parser.add_argument("--description", type=str, default="")
-    parser.add_argument("--scene", type=str, choices=["pile", "packed"], default="pile")
-    parser.add_argument("--object-set", type=str, default="blocks")
-    parser.add_argument("--num-objects", type=int, default=5)
-    parser.add_argument("--num-view", type=int, default=1)
-    parser.add_argument("--num-rounds", type=int, default=100)
-    parser.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
-    parser.add_argument("--sim-gui", action="store_true")
-    parser.add_argument("--qual-th", type=float, default=0.9)
-    parser.add_argument("--best", action="store_true")
-    parser.add_argument("--result-path", type=str)
-    parser.add_argument("--force", action="store_true")
-    parser.add_argument("--add-noise", type=str, default="")
-    parser.add_argument("--sideview", action="store_true")
-    parser.add_argument("--silence", action="store_true")
-    parser.add_argument("--vis", action="store_true")
+    for name, kwargs in FLAGS:
+        parser.add_argument(name, **kwargs)
     main(parser.parse_args())

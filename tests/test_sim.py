@@ -85,8 +85,8 @@ class TestLoggerRoundTrip:
         logger.log_round(0, 5)
         state = State(tsdf=FakeTSDF(), pc=np.zeros((10, 3)))
         g = Grasp(Transform(Rotation.identity(), [0.1, 0.1, 0.1]), 0.04)
-        logger.log_grasp(0, state, {"integration": 0.1, "planning": 0.01}, g, 0.95, Label.SUCCESS)
-        logger.log_grasp(0, state, {"integration": 0.1, "planning": 0.02}, g, 0.5, Label.FAILURE)
+        logger.log_grasp(0, state, 0.1, 0.01, g, 0.95, Label.SUCCESS)
+        logger.log_grasp(0, state, 0.1, 0.02, g, 0.5, Label.FAILURE)
 
         data = Data(logger.logdir)
         assert data.num_rounds() == 1
