@@ -178,6 +178,7 @@ class GIGAPlanner:
         force_detection: bool = False,
         qual_th: float = 0.9,
         out_th: float = 0.5,
+        low_th: float = 0.5,
         resolution: int = 40,
         size: float = 0.3,
         max_grasps: int = 128,
@@ -194,6 +195,7 @@ class GIGAPlanner:
             resolution=resolution,
             qual_th=qual_th,
             out_th=out_th,
+            low_th=low_th,
             force_detection=force_detection,
             best=best,
             max_grasps=max_grasps,

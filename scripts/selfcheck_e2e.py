@@ -39,6 +39,21 @@ def build_dataset(n_scenes, size, resolution, n_occ, seed):
     return scenes, np.stack(tsdfs), np.stack(occ_pts), np.stack(occ_lbls)
 
 
+def build_grasp_labels(scenes, size, n_grasps, seed):
+    from giga_tpu.utils.synthetic_grasps import grasps_to_batch_arrays, sample_labeled_grasps
+
+    rng = np.random.RandomState(seed + 1)
+    per_scene = []
+    pos_frac = []
+    for mesh in scenes:
+        gl = sample_labeled_grasps(mesh, size, n_grasps, rng)
+        arrs = grasps_to_batch_arrays(gl, size)
+        per_scene.append(arrs)
+        pos_frac.append(arrs["label"].mean())
+    print(f"grasp labels: {np.mean(pos_frac):.2f} positive fraction")
+    return per_scene
+
+
 def main(args):
     size = 0.3
     print(f"building {args.n_scenes} synthetic scenes...")
@@ -46,9 +61,11 @@ def main(args):
         args.n_scenes, size, 40, args.n_occ, args.seed
     )
     test_mesh, test_tsdf = scenes[-1], tsdfs[-1]
-    train_slice = slice(0, args.n_scenes - 1)
 
-    net, cfg = get_network("giga_geo")
+    full_giga = args.mode == "giga"
+    grasp_data = build_grasp_labels(scenes, size, args.n_grasps, args.seed) if full_giga else None
+
+    net, cfg = get_network("giga" if full_giga else "giga_geo")
     state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed))
     step = make_train_step(net, cfg)
 
@@ -64,10 +81,30 @@ def main(args):
             "pos_occ": jnp.asarray(occ_pts[idx[:, None], sub]),
             "occ": jnp.asarray(occ_lbls[idx[:, None], sub]),
         }
+        if full_giga:
+            gsel = [grasp_data[i] for i in idx]
+            # class-balanced sampling, like the reference's clean_balance step
+            gi = []
+            for g in gsel:
+                lbl = g["label"]
+                pool = np.nonzero(lbl == (1.0 if rng.rand() < 0.5 else 0.0))[0]
+                if len(pool) == 0:
+                    pool = np.arange(len(lbl))
+                gi.append(int(pool[rng.randint(len(pool))]))
+            batch["pos"] = jnp.asarray([g["pos"][k] for g, k in zip(gsel, gi)])
+            batch["label"] = jnp.asarray([g["label"][k] for g, k in zip(gsel, gi)])
+            batch["rotations"] = jnp.asarray([g["rotations"][k] for g, k in zip(gsel, gi)])
+            batch["width"] = jnp.asarray([g["width"][k] for g, k in zip(gsel, gi)])
         state, terms = step(state, batch)
         if it % 50 == 0 or it == args.steps - 1:
-            print(f"step {it}: occ loss {float(terms['loss_all']):.4f}", flush=True)
+            msg = f"step {it}: loss {float(terms['loss_all']):.4f}"
+            if full_giga and "accuracy" not in terms:
+                msg += f" qual {float(terms['loss_qual']):.3f}"
+            print(msg, flush=True)
     print(f"trained {args.steps} steps in {time.time() - t0:.1f}s")
+
+    if full_giga:
+        return check_planner(net, cfg, state, test_mesh, test_tsdf, size, args)
 
     gen = MeshGenerator(net, state.params, resolution0=20, upsampling_steps=1)
     pred_mesh, stats = gen.generate_mesh(test_tsdf)
@@ -91,13 +128,53 @@ def main(args):
     return 0 if ok else 1
 
 
+def check_planner(net, cfg, state, test_mesh, test_tsdf, size, args):
+    """Plan on the held-out scene and score the top grasps with the oracle."""
+    from scipy.spatial import cKDTree
+
+    from giga_tpu.inference.planner import GIGAPlanner, State
+    from giga_tpu.utils.synthetic_grasps import evaluate_grasp
+
+    planner = GIGAPlanner(
+        net=net, model_cfg=cfg, params=state.params,
+        qual_th=args.planner_qual_th, low_th=0.1, best=True, force_detection=True,
+        rng=np.random.RandomState(0),
+    )
+    grasps, scores, toc = planner(State(tsdf=test_tsdf[None]))
+    print(f"planner returned {len(grasps)} grasps in {toc * 1e3:.1f} ms")
+    if not grasps:
+        print("SELFCHECK FAILED: no grasps returned")
+        return 1
+
+    rng = np.random.RandomState(123)
+    surf, _ = test_mesh.sample_surface(20000, rng=rng)
+    tree = cKDTree(surf)
+    top = grasps[: args.top_k]
+    dists = [float(tree.query(g.pose.translation)[0]) for g in top]
+    labels = [evaluate_grasp(test_mesh, surf, g.pose, rng)[0] for g in top]
+    gsr = 100.0 * np.mean(labels)
+    print(
+        f"held-out scene: top-{len(top)} synthetic GSR {gsr:.0f}%, "
+        f"median surface distance {np.median(dists) * 1e3:.1f} mm"
+    )
+    ok = gsr >= args.gsr_threshold and np.median(dists) < 0.06
+    print(f"SELFCHECK {'PASSED' if ok else 'FAILED'}: GSR {gsr:.0f}% "
+          f"(threshold {args.gsr_threshold}%)")
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["geo", "giga"], default="geo")
     parser.add_argument("--n-scenes", type=int, default=24)
     parser.add_argument("--n-occ", type=int, default=8192)
+    parser.add_argument("--n-grasps", type=int, default=64)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--batch-occ", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--iou-threshold", type=float, default=0.5)
+    parser.add_argument("--gsr-threshold", type=float, default=30.0)
+    parser.add_argument("--planner-qual-th", type=float, default=0.8)
+    parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     sys.exit(main(parser.parse_args()))
