@@ -62,26 +62,34 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
     pallas_ok = use_pallas and jax.default_backend() == "tpu"
 
     def plan(params, tsdf, tsdf_process):
-        p = params["params"]
-        planes = net.apply({"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode")
-        planes = {t: v[0] for t, v in planes.items()}
-        coords = lattice_coords(planner_cfg.resolution)
-        feats = sample_planes_on_lattice(
-            planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
-        )
-        if pallas_ok:
-            from giga_tpu.ops.pallas.decoder_kernel import decode_affordance_dense_pallas
-
-            qual, rot, width = decode_affordance_dense_pallas(
-                p["decoder_aff"], feats, coords, n_blocks
+        # full fp32 matmul/conv passes: the model was validated against the
+        # torch reference at full precision, and TPU's default bf16-pass
+        # matmuls would silently change grasp scores
+        with jax.default_matmul_precision("highest"):
+            p = params["params"]
+            planes = net.apply(
+                {"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode"
             )
-        else:
-            qual, rot, width = decode_affordance_dense(p["decoder_aff"], feats, coords, n_blocks)
-        raw = (qual, rot, width)
-        qual = mask_quality(qual, tsdf_process, width, planner_cfg)
-        qual = bound_quality(qual, voxel_size, planner_cfg)
-        cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
-        return cands, raw
+            planes = {t: v[0] for t, v in planes.items()}
+            coords = lattice_coords(planner_cfg.resolution)
+            feats = sample_planes_on_lattice(
+                planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
+            )
+            if pallas_ok:
+                from giga_tpu.ops.pallas.decoder_kernel import decode_affordance_dense_pallas
+
+                qual, rot, width = decode_affordance_dense_pallas(
+                    p["decoder_aff"], feats, coords, n_blocks
+                )
+            else:
+                qual, rot, width = decode_affordance_dense(
+                    p["decoder_aff"], feats, coords, n_blocks
+                )
+            raw = (qual, rot, width)
+            qual = mask_quality(qual, tsdf_process, width, planner_cfg)
+            qual = bound_quality(qual, voxel_size, planner_cfg)
+            cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
+            return cands, raw
 
     return jax.jit(plan)
 
@@ -102,21 +110,22 @@ def build_sharded_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     repl = NamedSharding(mesh, P())
 
     def plan(params, tsdf, tsdf_process):
-        p = params["params"]
-        planes = net.apply({"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode")
-        planes = {t: v[0] for t, v in planes.items()}
-        coords = lattice_coords(planner_cfg.resolution)
-        feats = sample_planes_on_lattice(
-            planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
-        )
-        qual, rot, width = decode_affordance_dense(
-            p["decoder_aff"], feats, coords, n_blocks, shard_constraint=net_sharding
-        )
-        raw = (qual, rot, width)
-        qual = mask_quality(qual, tsdf_process, width, planner_cfg)
-        qual = bound_quality(qual, voxel_size, planner_cfg)
-        cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
-        return cands, raw
+        with jax.default_matmul_precision("highest"):
+            p = params["params"]
+            planes = net.apply({"params": {"encoder": p["encoder"]}}, tsdf[None], method="encode")
+            planes = {t: v[0] for t, v in planes.items()}
+            coords = lattice_coords(planner_cfg.resolution)
+            feats = sample_planes_on_lattice(
+                planes, coords, model_cfg.encoder.plane_resolution, model_cfg.decoder.padding
+            )
+            qual, rot, width = decode_affordance_dense(
+                p["decoder_aff"], feats, coords, n_blocks, shard_constraint=net_sharding
+            )
+            raw = (qual, rot, width)
+            qual = mask_quality(qual, tsdf_process, width, planner_cfg)
+            qual = bound_quality(qual, voxel_size, planner_cfg)
+            cands = select_grasps(qual, rot, width, _lattice_positions(coords), planner_cfg)
+            return cands, raw
 
     return jax.jit(plan, in_shardings=(repl, repl, repl), out_shardings=repl)
 
@@ -131,16 +140,17 @@ def build_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float):
     cfg = dataclasses.replace(cfg, min_width=1.33, max_width=9.33)
 
     def plan(params, tsdf, tsdf_process):
-        qual, rot, width = net.apply(params, tsdf[None])
-        qual, rot, width = qual[0], rot[0], width[0]
-        raw = (qual, rot, width)
-        qual = mask_quality(qual, tsdf_process, width, cfg)
-        qual = bound_quality(qual, voxel_size, cfg)
-        R = qual.shape[0]
-        idx = jnp.arange(R, dtype=jnp.float32)
-        positions = _lattice_positions(idx)  # voxel indices as float
-        cands = select_grasps(qual, rot, width, positions, cfg)
-        return cands, raw
+        with jax.default_matmul_precision("highest"):
+            qual, rot, width = net.apply(params, tsdf[None])
+            qual, rot, width = qual[0], rot[0], width[0]
+            raw = (qual, rot, width)
+            qual = mask_quality(qual, tsdf_process, width, cfg)
+            qual = bound_quality(qual, voxel_size, cfg)
+            R = qual.shape[0]
+            idx = jnp.arange(R, dtype=jnp.float32)
+            positions = _lattice_positions(idx)  # voxel indices as float
+            cands = select_grasps(qual, rot, width, positions, cfg)
+            return cands, raw
 
     return jax.jit(plan)
 
@@ -152,7 +162,11 @@ def _get_grids(state: State, resolution: int, default_size: float):
         grid = tsdf
         size = default_size
         voxel_size = size / resolution
-        process_grid = grid
+        if state.tsdf_process is not None:
+            tp = state.tsdf_process
+            process_grid = tp if isinstance(tp, np.ndarray) else tp.get_grid()
+        else:
+            process_grid = grid
     else:
         grid = tsdf.get_grid()
         size = tsdf.size

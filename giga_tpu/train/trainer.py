@@ -104,10 +104,12 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp"):
     loss_fn = make_loss_fn(net, cfg)
 
     def step(state: TrainState, batch):
-        (loss, (terms, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
-        state = state.apply_gradients(grads=grads)
+        # fp32 matmul passes for parity with the torch reference's training
+        with jax.default_matmul_precision("highest"):
+            (loss, (terms, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+            state = state.apply_gradients(grads=grads)
         if not _is_geo(cfg):
             terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
         return state, terms
@@ -128,7 +130,8 @@ def make_eval_step(net, cfg, mesh=None, axis: str = "dp"):
     loss_fn = make_loss_fn(net, cfg)
 
     def step(params, batch):
-        loss, (terms, out) = loss_fn(params, batch)
+        with jax.default_matmul_precision("highest"):
+            loss, (terms, out) = loss_fn(params, batch)
         if not _is_geo(cfg):
             terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
         return terms
