@@ -213,6 +213,9 @@ class GIGAPlanner:
             force_detection=force_detection,
             best=best,
             max_grasps=max_grasps,
+            # wider NMS when visualizing, like the reference
+            # (detection_implicit.py:59 max_filter_size=8 if visualize)
+            max_filter_size=8 if visualize else 4,
         )
         self.size = size
         self.rng = rng if rng is not None else np.random
