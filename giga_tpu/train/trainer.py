@@ -99,6 +99,16 @@ def _is_geo(cfg) -> bool:
     return isinstance(cfg, GIGAConfig) and cfg.tsdf_only
 
 
+def _step_metrics(cfg, out, batch) -> dict:
+    """Classification metrics: qual head for affordance models, occupancy
+    accuracy for the geometry-only model (reference train_giga_geo selects
+    the best checkpoint by occ_accuracy)."""
+    if _is_geo(cfg):
+        occ_prob = jax.nn.sigmoid(out["occ"])
+        return classification_metrics(occ_prob.reshape(-1), batch["occ"].reshape(-1))
+    return classification_metrics(out["qual"], batch["label"])
+
+
 def make_train_step(net, cfg, mesh=None, axis: str = "dp"):
     """Jitted SGD step. With a mesh, batch sharded / state replicated."""
     loss_fn = make_loss_fn(net, cfg)
@@ -110,8 +120,7 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp"):
                 state.params, batch
             )
             state = state.apply_gradients(grads=grads)
-        if not _is_geo(cfg):
-            terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
+        terms = {**terms, **_step_metrics(cfg, out, batch)}
         return state, terms
 
     if mesh is None:
@@ -132,8 +141,7 @@ def make_eval_step(net, cfg, mesh=None, axis: str = "dp"):
     def step(params, batch):
         with jax.default_matmul_precision("highest"):
             loss, (terms, out) = loss_fn(params, batch)
-        if not _is_geo(cfg):
-            terms = {**terms, **classification_metrics(out["qual"], batch["label"])}
+        terms = {**terms, **_step_metrics(cfg, out, batch)}
         return terms
 
     if mesh is None:

@@ -47,6 +47,21 @@ class TestLocalPoolPointnet:
         assert fea["xy"].shape == (1, 8, 8, 32)
 
 
+class TestTriplaneEncoderGeneralPath:
+    def test_mixed_resolution_uses_scatter(self):
+        """Input resolution != plane resolution exercises the segment-mean
+        branch (reference supports e.g. 120^3 TSDF -> 40^2 planes)."""
+        from giga_tpu.models.encoder import TriplaneVoxelEncoder
+
+        enc = TriplaneVoxelEncoder(EncoderConfig(plane_resolution=8))
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16), jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), x)
+        planes = enc.apply(params, x)
+        for t in ("xz", "xy", "yz"):
+            assert planes[t].shape == (1, 8, 8, 32)
+            assert np.isfinite(np.asarray(planes[t])).all()
+
+
 class TestUNet3D:
     def test_shapes(self):
         net = UNet3D(out_channels=16, f_maps=8, num_levels=2)
