@@ -22,6 +22,72 @@ from giga_tpu.models.unet2d import UNet2D
 from giga_tpu.ops.scatter import grid_index, plane_index, scatter_mean_grid, scatter_mean_planes, segment_max, segment_mean
 
 
+class PatchLocalPoolPointnet(nn.Module):
+    """Crop-variant point encoder (reference: pointnet.py:159-290).
+
+    Same per-point ResNet + local-pooling architecture as LocalPoolPointnet
+    but with externally precomputed plane-cell indices (crop-normalized) and
+    points mapped to per-voxel local coordinates with optional sin/cos
+    positional encoding — the encoder side of the sliding-window pipeline.
+
+    __call__(points (B, T, 3), index {t: (B, T) int cell ids}).
+    """
+
+    cfg: EncoderConfig = EncoderConfig()
+    hidden_dim: int = 32
+    n_blocks: int = 5
+    scatter_type: str = "max"
+    local_coord: bool = True
+    unit_size: float = 0.1
+    pos_encoding: str = "linear"
+
+    @nn.compact
+    def __call__(self, p, index: dict):
+        from giga_tpu.ops.sampling import map2local
+
+        cfg = self.cfg
+        h = self.hidden_dim
+        reso = cfg.plane_resolution
+
+        def pool_local(feat):
+            out = 0
+            for key, idx in index.items():
+                n_cells = reso * reso if key != "grid" else reso**3
+
+                def one(f, i):
+                    if self.scatter_type == "max":
+                        cells = segment_max(f, i, n_cells)
+                    else:
+                        cells = segment_mean(f, i, n_cells)
+                    return cells[i]
+
+                out = out + jax.vmap(one)(feat, idx)
+            return out
+
+        pin = map2local(p, self.unit_size, self.pos_encoding) if self.local_coord else p
+        net = TorchDense(2 * h, name="fc_pos")(pin)
+        net = ResnetBlockFC(size_out=h, name="block0")(net)
+        for i in range(1, self.n_blocks):
+            pooled = pool_local(net)
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = ResnetBlockFC(size_out=h, name=f"block{i}")(net)
+        c = TorchDense(cfg.c_dim, name="fc_c")(net)
+
+        fea = {}
+        order = [t for t in ("xz", "xy", "yz") if t in index]
+        planes = []
+        for t in order:
+            def one(ci, ii):
+                return segment_mean(ci, ii, reso * reso).reshape(reso, reso, -1)
+
+            planes.append(jax.vmap(one)(c, index[t]))
+        stacked = jnp.concatenate(planes, axis=0)
+        refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
+        for t, ch in zip(order, jnp.split(refined, len(order), axis=0)):
+            fea[t] = ch
+        return fea
+
+
 class LocalPoolPointnet(nn.Module):
     """Points (B, T, 3) -> plane dict {t: (B, H, W, C)} (+ optional 'grid')."""
 

@@ -103,6 +103,12 @@ def main(args):
             print(msg, flush=True)
     print(f"trained {args.steps} steps in {time.time() - t0:.1f}s")
 
+    if args.save_params:
+        from giga_tpu.models.registry import save_params
+
+        save_params(state.params, args.save_params)
+        print(f"saved params to {args.save_params}")
+
     if full_giga:
         return check_planner(net, cfg, state, test_mesh, test_tsdf, size, args)
 
@@ -177,4 +183,6 @@ if __name__ == "__main__":
     parser.add_argument("--planner-qual-th", type=float, default=0.8)
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--save-params", type=str, default="",
+                        help="save trained params (msgpack) to this path")
     sys.exit(main(parser.parse_args()))

@@ -37,6 +37,23 @@ class TestLocalPoolPointnet:
             float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0))
         )
 
+    def test_patch_variant(self):
+        from giga_tpu.models.pointnet import PatchLocalPoolPointnet
+
+        enc = PatchLocalPoolPointnet(
+            EncoderConfig(plane_resolution=8), hidden_dim=8, n_blocks=2,
+            pos_encoding="sin_cos",
+        )
+        rng = np.random.RandomState(7)
+        p = jnp.asarray(rng.uniform(0, 1, (2, 32, 3)), jnp.float32)
+        index = {
+            t: jnp.asarray(rng.randint(0, 64, (2, 32)), jnp.int32)
+            for t in ("xz", "xy", "yz")
+        }
+        params = enc.init(jax.random.PRNGKey(0), p, index)
+        fea = enc.apply(params, p, index)
+        assert all(fea[t].shape == (2, 8, 8, 32) for t in ("xz", "xy", "yz"))
+
     def test_mean_scatter_variant(self):
         enc = LocalPoolPointnet(
             EncoderConfig(plane_resolution=8), hidden_dim=4, n_blocks=2, scatter_type="mean"
