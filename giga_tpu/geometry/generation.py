@@ -44,11 +44,23 @@ class MeshGenerator:
         self.simplify_nfaces = simplify_nfaces
         self.refinement_step = refinement_step
         self._planes = None
+        # jitted once: unjitted apply would dispatch op-by-op (very slow on
+        # remote accelerators); chunk padding keeps shapes reusable
+        import jax
+
+        self._decode = jax.jit(
+            lambda params, planes, pts: self.net.apply(
+                params, planes, pts, method="decode_occupancy"
+            )
+        )
+        self._encode = jax.jit(
+            lambda params, grid: self.net.apply(params, grid, method="encode")
+        )
 
     def encode(self, tsdf_grid: np.ndarray):
         """(R, R, R) or (1, R, R, R) TSDF -> cached feature planes."""
         grid = np.squeeze(np.asarray(tsdf_grid, np.float32))
-        planes = self.net.apply(self.params, jnp.asarray(grid)[None], method="encode")
+        planes = self._encode(self.params, jnp.asarray(grid)[None])
         self._planes = planes
         return planes
 
@@ -63,16 +75,15 @@ class MeshGenerator:
         n = len(points)
         if n == 0:
             return np.zeros(0, np.float32)
-        cs = min(self.points_batch_size, max(4096, 1 << int(np.ceil(np.log2(n)))))
+        cs = min(self.points_batch_size, max(16384, 1 << int(np.ceil(np.log2(n)))))
         outs = []
         for s in range(0, n, cs):
             chunk = points[s : s + cs]
             pad = cs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
-            logits = self.net.apply(
-                self.params, self._planes, jnp.asarray(chunk, jnp.float32)[None],
-                method="decode_occupancy",
+            logits = self._decode(
+                self.params, self._planes, jnp.asarray(chunk, jnp.float32)[None]
             )
             out = np.asarray(logits[0])
             outs.append(out[: cs - pad] if pad else out)
