@@ -17,8 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from giga_tpu.core.config import GIGAConfig, PlannerConfig, VGNConfig
-from giga_tpu.core.grasp import Grasp, from_voxel_coordinates
+from giga_tpu.core.config import GIGAConfig, PlannerConfig
+from giga_tpu.core.grasp import Grasp
 from giga_tpu.core.transform import Rotation, Transform
 from giga_tpu.inference.dense_decode import (
     decode_affordance_dense,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from giga_tpu.core.config import DecoderConfig
-from giga_tpu.models.layers import torch_bias_init, torch_weight_init
+from giga_tpu.models.layers import torch_bias_init
 from giga_tpu.ops.sampling import sample_planes_concat
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from giga_tpu.core.config import GIGAConfig, VGNConfig, get_config
+from giga_tpu.core.config import VGNConfig, get_config
 from giga_tpu.models.conv_onet import GIGANet
 from giga_tpu.models.vgn import VGNNet
 

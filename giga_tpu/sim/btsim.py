@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import time as _time
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 from giga_tpu.core.transform import Rotation, Transform

@@ -12,7 +12,6 @@ from pathlib import Path
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def _manager(directory: Path, max_to_keep: int = 2):
