@@ -88,6 +88,47 @@ def main():
     batched_sps = B / float(np.median(ts))
     log(f"batched (B={B}) throughput: {batched_sps:.1f} scenes/s")
 
+    # --- remaining BASELINE.json configs -----------------------------------
+
+    def blocked_median(f, *args, n=50):
+        jax.block_until_ready(f(*args))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    # VGN dense 3D-CNN planner on a single 40^3 TSDF
+    from giga_tpu.inference.planner import build_vgn_planner_fn
+
+    vgn_net, _ = get_network("vgn")
+    vgn_params = vgn_net.init(jax.random.PRNGKey(1), tsdf0)
+    vgn_plan = build_vgn_planner_fn(vgn_net, planner_cfg, size=0.3)
+    vgn_dt = blocked_median(vgn_plan, vgn_params, grids[0], grids[0])
+    log(f"vgn planner: {vgn_dt * 1e3:.3f} ms/scene")
+
+    # GIGA-Aff: affordance decode at sampled grasp centers (no occ head)
+    aff_net, aff_cfg = get_network("giga_aff")
+    aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)
+    aff_plan = build_giga_planner_fn(aff_net, aff_cfg, planner_cfg, size=0.3)
+    aff_dt = blocked_median(aff_plan, aff_params, grids[0], grids[0])
+    log(f"giga_aff planner: {aff_dt * 1e3:.3f} ms/scene")
+
+    # GIGA-Geo: 100k occupancy queries per scene (reconstruction workload)
+    geo_net, geo_cfg = get_network("giga_geo")
+    qp = jnp.zeros((1, 1, 3), jnp.float32)
+    geo_params = geo_net.init(jax.random.PRNGKey(3), tsdf0, None, qp)
+    pts100k = jnp.asarray(rng_np.uniform(-0.5, 0.5, (1, 100000, 3)), jnp.float32)
+
+    geo_query = jax.jit(
+        lambda pp, grid, pts: geo_net.apply(
+            pp, geo_net.apply(pp, grid, method="encode"), pts, method="decode_occupancy"
+        )
+    )
+    geo_dt = blocked_median(geo_query, geo_params, grids[0][None], pts100k)
+    log(f"giga_geo encode+100k occ queries: {geo_dt * 1e3:.3f} ms/scene")
+
     # training-step throughput (batch 32, 2048 occ points — reference defaults)
     from giga_tpu.train.trainer import create_train_state, make_train_step
 
@@ -123,6 +164,9 @@ def main():
         "batched_scenes_per_sec": round(batched_sps, 2),
         "train_samples_per_sec": round(train_sps, 2),
         "single_scene_ms": round(dt * 1e3, 3),
+        "vgn_scene_ms": round(vgn_dt * 1e3, 3),
+        "giga_aff_scene_ms": round(aff_dt * 1e3, 3),
+        "giga_geo_100k_queries_ms": round(geo_dt * 1e3, 3),
     }
     print(json.dumps(result))
 
