@@ -1,0 +1,60 @@
+"""Multi-scene synthetic grasp-success evaluation of a trained checkpoint.
+
+Plans on K fresh synthetic scenes and scores the top grasps of each with the
+geometric oracle — a deterministic, simulator-free stand-in for the GSR/DR
+benchmark, with enough scenes to be statistically meaningful.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from scipy.spatial import cKDTree
+
+from giga_tpu.inference.planner import GIGAPlanner, State
+from giga_tpu.models.registry import get_network, load_params
+from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+from giga_tpu.utils.synthetic_grasps import evaluate_grasp
+
+
+def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8):
+    net, cfg = get_network("giga")
+    params = load_params(params_path)
+    planner = GIGAPlanner(
+        net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
+        low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
+    )
+    rng = np.random.RandomState(seed)
+    labels_all, dists_all, counts = [], [], []
+    for _ in range(n_scenes):
+        mesh = random_scene(rng, 0.3)
+        tsdf = mesh_to_tsdf(mesh, 0.3, 40, rng=rng)
+        grasps, scores, _ = planner(State(tsdf=tsdf[None]))
+        counts.append(len(grasps))
+        surf, _ = mesh.sample_surface(20000, rng=rng)
+        tree = cKDTree(surf)
+        for g in grasps[:top_k]:
+            labels_all.append(evaluate_grasp(mesh, surf, g.pose, rng)[0])
+            dists_all.append(float(tree.query(g.pose.translation)[0]))
+    gsr = 100.0 * np.mean(labels_all) if labels_all else 0.0
+    return {
+        "gsr": gsr,
+        "n_grasps": len(labels_all),
+        "median_surface_dist_mm": float(np.median(dists_all)) * 1e3 if dists_all else float("nan"),
+        "mean_candidates": float(np.mean(counts)),
+    }
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("params", type=str)
+    parser.add_argument("--n-scenes", type=int, default=8)
+    parser.add_argument("--top-k", type=int, default=5)
+    parser.add_argument("--seed", type=int, default=1000)
+    args = parser.parse_args()
+    out = evaluate_checkpoint(args.params, args.n_scenes, args.top_k, args.seed)
+    print(out)
