@@ -172,6 +172,51 @@ class Loader:
             yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+class PrefetchLoader:
+    """Wraps a Loader with a background worker pool assembling batches ahead
+    (role of the reference's DataLoader(num_workers=16, pin_memory=True),
+    train_giga.py:22). npz decompression releases the GIL, so threads give
+    real overlap with the device step; batch order is preserved.
+    """
+
+    def __init__(self, loader: "Loader", num_workers: int = 4, prefetch: int = 4):
+        self.loader = loader
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import concurrent.futures as cf
+        from collections import deque
+
+        order = self.loader.indices.copy()
+        if self.loader.shuffle:
+            self.loader.rng.shuffle(order)
+        bs = self.loader.batch_size
+
+        def make_batch(rows):
+            samples = [self.loader.dataset[int(i)] for i in rows]
+            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = deque()
+            n_batches = len(self)
+            submitted = 0
+            while submitted < min(self.prefetch, n_batches):
+                rows = order[submitted * bs : (submitted + 1) * bs]
+                pending.append(pool.submit(make_batch, rows))
+                submitted += 1
+            while pending:
+                batch = pending.popleft().result()
+                if submitted < n_batches:
+                    rows = order[submitted * bs : (submitted + 1) * bs]
+                    pending.append(pool.submit(make_batch, rows))
+                    submitted += 1
+                yield batch
+
+
 def _split_loaders(dataset, batch_size, val_split, seed):
     n = len(dataset)
     rng = np.random.RandomState(seed)

@@ -65,6 +65,12 @@ def main(args):
 
         state = replicate(mesh, state)
 
+    if args.workers > 0:
+        from giga_tpu.train.data import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader, num_workers=args.workers)
+        val_loader = PrefetchLoader(val_loader, num_workers=args.workers)
+
     trainer = Trainer(net, model_cfg, train_cfg, mesh=mesh, logdir=logdir,
                       use_orbax=args.orbax)
     trainer.fit(state, train_loader, val_loader, epochs=args.epochs)
@@ -89,4 +95,6 @@ if __name__ == "__main__":
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
     parser.add_argument("--orbax", action="store_true",
                         help="full-state orbax checkpointing with auto-resume")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="prefetch worker threads (0 = synchronous)")
     main(parser.parse_args())

@@ -100,6 +100,27 @@ class TestDataPipeline:
         assert len(train_loader) == 9 // 4 and len(val_loader) == 3 // 4
 
 
+class TestPrefetchLoader:
+    def test_same_batches_as_sync_loader(self, tmp_path):
+        from giga_tpu.train.data import PrefetchLoader
+
+        root, raw = tmp_path / "proc", tmp_path / "raw"
+        make_synthetic_dataset(root, raw)
+        # load_occ=False keeps __getitem__ deterministic (occ shard choice
+        # consumes the dataset rng), so the two epochs are comparable
+        train_loader, _ = create_train_val_loaders(
+            root, raw, batch_size=4, val_split=0.25, augment=False, load_occ=False
+        )
+        # deterministic comparison: unshuffled loader
+        train_loader.shuffle = False
+        sync = list(train_loader)
+        pre = list(PrefetchLoader(train_loader, num_workers=3, prefetch=2))
+        assert len(pre) == len(sync)
+        for a, b in zip(sync, pre):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestTrainStep:
     @pytest.mark.parametrize("name", ["giga", "giga_geo"])
     def test_single_device_step_reduces_loss(self, tmp_path, name):
