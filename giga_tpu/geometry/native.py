@@ -72,6 +72,14 @@ def get_lib():
         lib.free_mesh_buffers.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.voxelize_surface_exact.restype = ctypes.c_int
+        lib.voxelize_surface_exact.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.simplify_mesh.restype = ctypes.c_int
         lib.simplify_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,

@@ -25,9 +25,40 @@ def voxelize_solid(mesh: TriMesh, resolution: int, bounds=None) -> np.ndarray:
     return occ.reshape(resolution, resolution, resolution)
 
 
-def voxelize_surface(mesh: TriMesh, resolution: int, bounds=None,
-                     samples_per_voxel_area: float = 4.0, rng=None) -> np.ndarray:
-    """(R, R, R) bool: voxels intersected by the mesh surface."""
+def voxelize_surface(mesh: TriMesh, resolution: int, bounds=None, rng=None) -> np.ndarray:
+    """(R, R, R) bool: voxels intersected by the mesh surface.
+
+    Exact triangle/box SAT overlap in C++ (tribox role); falls back to
+    sampling-based marking without a native build.
+    """
+    import ctypes
+
+    from giga_tpu.geometry.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and not mesh.is_empty():
+        lo, hi = _bounds(mesh, bounds)
+        verts = np.ascontiguousarray(mesh.vertices, np.float64)
+        faces = np.ascontiguousarray(mesh.faces, np.int64)
+        out = np.zeros(resolution**3, np.uint8)
+        lo_a = np.ascontiguousarray(lo, np.float64)
+        hi_a = np.ascontiguousarray(hi, np.float64)
+        rc = lib.voxelize_surface_exact(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+            resolution,
+            lo_a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            hi_a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out.astype(bool).reshape(resolution, resolution, resolution)
+    return _voxelize_surface_sampled(mesh, resolution, bounds, rng=rng)
+
+
+def _voxelize_surface_sampled(mesh: TriMesh, resolution: int, bounds=None,
+                              samples_per_voxel_area: float = 4.0, rng=None) -> np.ndarray:
+    """Sampling fallback: stratified surface samples mark touched voxels."""
     rng = rng or np.random
     lo, hi = _bounds(mesh, bounds)
     cell = (hi - lo) / resolution

@@ -15,6 +15,18 @@ class TestVoxelize:
         frac = occ.mean()
         assert abs(frac - 0.125) < 0.03  # box fills 1/8 of the unit cube
 
+    def test_exact_surface_superset_of_sampled(self):
+        from giga_tpu.geometry.voxelize import _voxelize_surface_sampled
+        from giga_tpu.utils.synthetic import icosphere
+
+        m = icosphere(0.35, [0.5, 0.5, 0.5], 2)
+        b = (np.zeros(3), np.ones(3))
+        exact = voxelize_surface(m, 24, bounds=b)
+        sampled = _voxelize_surface_sampled(m, 24, bounds=b, rng=np.random.RandomState(0))
+        # SAT overlap is exact: every sampled-marked voxel must also be marked
+        assert (~exact & sampled).sum() == 0
+        assert exact.sum() >= sampled.sum() > 0
+
     def test_surface_is_shell(self):
         m = box_mesh([0.5, 0.5, 0.5], center=(0.5, 0.5, 0.5))
         surf = voxelize_surface(m, 16, bounds=(np.zeros(3), np.ones(3)),
