@@ -57,6 +57,23 @@ class TestGIGAParity:
             np.testing.assert_allclose(ours, gold_planes[t][0].numpy(), atol=1e-5)
 
 
+class TestGIGAAffParity:
+    def test_aff_variant_conversion(self):
+        """giga_aff checkpoints (no occupancy decoder) convert + match."""
+        torch.manual_seed(3)
+        golden = GoldenGIGA(with_tsdf=False).eval()
+        net, cfg = get_network("giga_aff")
+        params = convert_giga_state_dict(golden.state_dict(), cfg)
+        rng = np.random.RandomState(4)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        p = rng.uniform(-0.5, 0.5, (1, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            gold = golden(torch.from_numpy(tsdf), torch.from_numpy(p))
+        ours = net.apply(params, jnp.asarray(tsdf), jnp.asarray(p), None)
+        np.testing.assert_allclose(np.asarray(ours["qual"]), gold["qual"].numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ours["rot"]), gold["rot"].numpy(), atol=2e-5)
+
+
 class TestVGNParity:
     def test_forward_matches_torch(self):
         torch.manual_seed(1)
