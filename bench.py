@@ -79,18 +79,30 @@ def main():
     pipelined_sps = iters / (time.perf_counter() - t0)
     log(f"pipelined throughput: {pipelined_sps:.1f} scenes/s")
 
+    def guarded(label, fn, default=float("nan")):
+        """Secondary metrics must never kill the primary JSON line."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"{label} failed: {type(e).__name__}: {e}")
+            return default
+
     # batched serving throughput (vmapped full pipeline)
     B = 64
     batch = jnp.stack([grids[i % 16] for i in range(B)])
-    vplan = jax.jit(jax.vmap(plan.__wrapped__, in_axes=(None, 0, 0)))
-    jax.block_until_ready(vplan(params, batch, batch))
-    ts = []
-    for _ in range(30):
-        t0 = time.perf_counter()
+    def run_batched():
+        vplan = jax.jit(jax.vmap(plan.__wrapped__, in_axes=(None, 0, 0)))
         jax.block_until_ready(vplan(params, batch, batch))
-        ts.append(time.perf_counter() - t0)
-    batched_sps = B / float(np.median(ts))
-    log(f"batched (B={B}) throughput: {batched_sps:.1f} scenes/s")
+        ts = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            jax.block_until_ready(vplan(params, batch, batch))
+            ts.append(time.perf_counter() - t0)
+        sps = B / float(np.median(ts))
+        log(f"batched (B={B}) throughput: {sps:.1f} scenes/s")
+        return sps
+
+    batched_sps = guarded("batched", run_batched)
 
     # --- remaining BASELINE.json configs -----------------------------------
 
@@ -106,32 +118,43 @@ def main():
     # VGN dense 3D-CNN planner on a single 40^3 TSDF
     from giga_tpu.inference.planner import build_vgn_planner_fn
 
-    vgn_net, _ = get_network("vgn")
-    vgn_params = vgn_net.init(jax.random.PRNGKey(1), tsdf0)
-    vgn_plan = build_vgn_planner_fn(vgn_net, planner_cfg, size=0.3)
-    vgn_dt = blocked_median(vgn_plan, vgn_params, grids[0], grids[0])
-    log(f"vgn planner: {vgn_dt * 1e3:.3f} ms/scene")
+    def run_vgn():
+        vgn_net, _ = get_network("vgn")
+        vgn_params = vgn_net.init(jax.random.PRNGKey(1), tsdf0)
+        vgn_plan = build_vgn_planner_fn(vgn_net, planner_cfg, size=0.3)
+        dtv = blocked_median(vgn_plan, vgn_params, grids[0], grids[0])
+        log(f"vgn planner: {dtv * 1e3:.3f} ms/scene")
+        return dtv
+
+    vgn_dt = guarded("vgn", run_vgn)
 
     # GIGA-Aff: affordance decode at sampled grasp centers (no occ head)
-    aff_net, aff_cfg = get_network("giga_aff")
-    aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)
-    aff_plan = build_giga_planner_fn(aff_net, aff_cfg, planner_cfg, size=0.3)
-    aff_dt = blocked_median(aff_plan, aff_params, grids[0], grids[0])
-    log(f"giga_aff planner: {aff_dt * 1e3:.3f} ms/scene")
+    def run_aff():
+        aff_net, aff_cfg = get_network("giga_aff")
+        aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)
+        aff_plan = build_giga_planner_fn(aff_net, aff_cfg, planner_cfg, size=0.3)
+        dta = blocked_median(aff_plan, aff_params, grids[0], grids[0])
+        log(f"giga_aff planner: {dta * 1e3:.3f} ms/scene")
+        return dta
+
+    aff_dt = guarded("giga_aff", run_aff)
 
     # GIGA-Geo: 100k occupancy queries per scene (reconstruction workload)
-    geo_net, geo_cfg = get_network("giga_geo")
-    qp = jnp.zeros((1, 1, 3), jnp.float32)
-    geo_params = geo_net.init(jax.random.PRNGKey(3), tsdf0, None, qp)
-    pts100k = jnp.asarray(rng_np.uniform(-0.5, 0.5, (1, 100000, 3)), jnp.float32)
-
-    geo_query = jax.jit(
-        lambda pp, grid, pts: geo_net.apply(
-            pp, geo_net.apply(pp, grid, method="encode"), pts, method="decode_occupancy"
+    def run_geo():
+        geo_net, geo_cfg = get_network("giga_geo")
+        qp = jnp.zeros((1, 1, 3), jnp.float32)
+        geo_params = geo_net.init(jax.random.PRNGKey(3), tsdf0, None, qp)
+        pts100k = jnp.asarray(rng_np.uniform(-0.5, 0.5, (1, 100000, 3)), jnp.float32)
+        geo_query = jax.jit(
+            lambda pp, grid, pts: geo_net.apply(
+                pp, geo_net.apply(pp, grid, method="encode"), pts, method="decode_occupancy"
+            )
         )
-    )
-    geo_dt = blocked_median(geo_query, geo_params, grids[0][None], pts100k)
-    log(f"giga_geo encode+100k occ queries: {geo_dt * 1e3:.3f} ms/scene")
+        dtg = blocked_median(geo_query, geo_params, grids[0][None], pts100k)
+        log(f"giga_geo encode+100k occ queries: {dtg * 1e3:.3f} ms/scene")
+        return dtg
+
+    geo_dt = guarded("giga_geo", run_geo)
 
     # training-step throughput (batch 32, 2048 occ points — reference defaults)
     from giga_tpu.train.trainer import create_train_state, make_train_step
@@ -148,16 +171,21 @@ def main():
         "pos_occ": jnp.asarray(rng_np.uniform(-0.4, 0.4, (Bt, Nt, 3)), jnp.float32),
         "occ": jnp.asarray(rng_np.randint(0, 2, (Bt, Nt)), jnp.float32),
     }
-    state, terms = step(state, batch)
-    jax.block_until_ready(terms["loss_all"])
-    ts = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        state, terms = step(state, batch)
+    def run_train():
+        st, terms = step(state, batch)
         jax.block_until_ready(terms["loss_all"])
-        ts.append(time.perf_counter() - t0)
-    train_sps = Bt / float(np.median(ts))
-    log(f"train step (B={Bt}): {np.median(ts) * 1e3:.2f} ms -> {train_sps:.0f} samples/s")
+        ts = []
+        cur = st
+        for _ in range(20):
+            t0 = time.perf_counter()
+            cur, terms = step(cur, batch)
+            jax.block_until_ready(terms["loss_all"])
+            ts.append(time.perf_counter() - t0)
+        sps = Bt / float(np.median(ts))
+        log(f"train step (B={Bt}): {np.median(ts) * 1e3:.2f} ms -> {sps:.0f} samples/s")
+        return sps
+
+    train_sps = guarded("train", run_train)
 
     result = {
         "metric": "giga_planner_scenes_per_sec",
