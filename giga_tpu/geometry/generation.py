@@ -143,6 +143,23 @@ class MeshGenerator:
             stats["time (refine)"] = time.time() - t0
         return mesh
 
+    def estimate_normals(self, vertices: np.ndarray) -> np.ndarray:
+        """Outward unit normals from the occupancy-field gradient at the
+        vertices (reference generation.py:430-455): n = -∇occ / ||∇occ||
+        (occupancy decreases moving out of the surface)."""
+        import jax
+
+        assert self._planes is not None, "call encode() first"
+        net, params, planes = self.net, self.params, self._planes
+
+        def occ_sum(pts):
+            return net.apply(params, planes, pts[None], method="decode_occupancy").sum()
+
+        grad = jax.grad(occ_sum)(jnp.asarray(vertices, jnp.float32))
+        g = np.asarray(grad)
+        n = -g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        return n
+
     def refine_mesh(self, mesh: TriMesh, steps: int, lr: float = 1e-4) -> TriMesh:
         """Gradient-based vertex refinement (reference generation.py:457-519):
         move face-sample points onto the decision boundary and align face

@@ -87,6 +87,24 @@ class TestMeshGenerator:
             assert np.all(np.abs(mesh.vertices) <= 0.51)
 
 
+class TestEstimateNormals:
+    def test_unit_normals_from_field_gradient(self):
+        from giga_tpu.geometry.generation import MeshGenerator
+        from giga_tpu.models.registry import get_network
+        import jax.numpy as jnp
+
+        net, cfg = get_network("giga_geo")
+        tsdf = jnp.zeros((1, 40, 40, 40))
+        p = jnp.zeros((1, 4, 3))
+        params = net.init(jax.random.PRNGKey(0), tsdf, None, p)
+        gen = MeshGenerator(net, params)
+        gen.encode(np.random.RandomState(0).rand(40, 40, 40).astype(np.float32))
+        verts = np.random.RandomState(1).uniform(-0.4, 0.4, (50, 3)).astype(np.float32)
+        normals = gen.estimate_normals(verts)
+        assert normals.shape == (50, 3)
+        np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-5)
+
+
 class TestMeshEvaluator:
     def test_identical_boxes(self):
         m = box_mesh([0.4, 0.4, 0.4], center=(0.5, 0.5, 0.5))
