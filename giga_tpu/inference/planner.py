@@ -233,7 +233,8 @@ class GIGAPlanner:
             cands, scale=size, offset=0.5, width_scale=size, best=self.planner_cfg.best, rng=self.rng
         )
         if self.visualize:
-            composed = _affordance_scene(raw, grasps, scores, scene_mesh, size)
+            composed = _affordance_scene(raw, grasps, scores, scene_mesh, size,
+                                         **(aff_kwargs or {}))
             return grasps, scores, toc, composed
         return grasps, scores, toc
 
@@ -309,6 +310,10 @@ class VGNPlanner:
             cands, scale=voxel_size, offset=0.0, width_scale=voxel_size,
             best=self.planner_cfg.best, rng=self.rng,
         )
+        if self.visualize:
+            composed = _affordance_scene(raw, grasps, scores, scene_mesh, self.size,
+                                         **(aff_kwargs or {}))
+            return grasps, scores, toc, composed
         return grasps, scores, toc
 
 
@@ -330,10 +335,12 @@ def candidates_to_grasps(cands: GraspCandidates, scale, offset, width_scale, bes
     return grasps, np.asarray(scores)
 
 
-def _affordance_scene(raw, grasps, scores, scene_mesh, size):
+def _affordance_scene(raw, grasps, scores, scene_mesh, size, **aff_kwargs):
     from giga_tpu.utils import visual
 
     qual, rot, width = (np.asarray(v) for v in raw)
-    colored = visual.affordance_visual(qual, rot, scene_mesh, size, qual.shape[0])
+    colored = visual.affordance_visual(
+        qual, rot, scene_mesh, size, qual.shape[0], **aff_kwargs
+    )
     scene = visual.compose_scene(colored, grasps, scores)
     return scene
