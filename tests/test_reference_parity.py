@@ -1,0 +1,203 @@
+"""True-golden parity: the JAX stack vs the reference's *actual* torch code.
+
+Imports /root/reference/src/vgn (via tests/reference_oracle.py shims), builds
+every shipped network family with seeded weights, pushes the real reference
+state_dict through the checkpoint converter, and asserts the JAX forward
+matches the reference forward — retiring tests/torch_golden.py as the sole
+oracle (VERDICT round-1, item 1).
+
+Also runs planner-level parity: the reference's own predict/process/bound/
+select pipeline (detection_implicit.py:99-185) vs the jitted GIGAPlanner on
+the same converted weights, asserting identical grasp lists.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from giga_tpu.inference.planner import GIGAPlanner, State
+from giga_tpu.models.registry import get_network
+from giga_tpu.models.torch_convert import convert_giga_state_dict, convert_vgn_state_dict
+
+from tests.reference_oracle import build_reference_net, load_reference, reference_lattice
+
+ATOL = 2e-5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+@pytest.fixture(scope="module")
+def giga_pair():
+    golden = build_reference_net("giga", seed=0)
+    net, cfg = get_network("giga")
+    params = convert_giga_state_dict(golden.state_dict(), cfg)
+    return golden, net, params
+
+
+class TestForwardParity:
+    def test_giga(self, giga_pair):
+        golden, net, params = giga_pair
+        rng = np.random.RandomState(0)
+        tsdf = rng.rand(2, 40, 40, 40).astype(np.float32)
+        p = rng.uniform(-0.5, 0.5, (2, 32, 3)).astype(np.float32)
+        p_occ = rng.uniform(-0.5, 0.5, (2, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            q, r, w, occ = golden(
+                torch.from_numpy(tsdf), torch.from_numpy(p), torch.from_numpy(p_occ)
+            )
+        ours = net.apply(params, jnp.asarray(tsdf), jnp.asarray(p), jnp.asarray(p_occ))
+        np.testing.assert_allclose(np.asarray(ours["qual"]), q.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["rot"]), r.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["width"]), w.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["occ"]), occ.numpy(), atol=ATOL)
+
+    def test_giga_encoder_planes(self, giga_pair):
+        golden, net, params = giga_pair
+        rng = np.random.RandomState(1)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        with torch.no_grad():
+            gold_planes = golden.encoder(torch.from_numpy(tsdf))
+        planes = net.apply(params, jnp.asarray(tsdf), method="encode")
+        for t in ("xz", "xy", "yz"):
+            ours = np.asarray(planes[t])[0].transpose(2, 0, 1)  # (C, H, W)
+            np.testing.assert_allclose(ours, gold_planes[t][0].numpy(), atol=1e-5)
+
+    def test_giga_aff(self):
+        golden = build_reference_net("giga_aff", seed=3)
+        net, cfg = get_network("giga_aff")
+        params = convert_giga_state_dict(golden.state_dict(), cfg)
+        rng = np.random.RandomState(4)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        p = rng.uniform(-0.5, 0.5, (1, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            q, r, w = golden(torch.from_numpy(tsdf), torch.from_numpy(p))
+        ours = net.apply(params, jnp.asarray(tsdf), jnp.asarray(p), None)
+        np.testing.assert_allclose(np.asarray(ours["qual"]), q.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["rot"]), r.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["width"]), w.numpy(), atol=ATOL)
+
+    def test_giga_detach(self):
+        golden = build_reference_net("giga_detach", seed=5)
+        net, cfg = get_network("giga_detach")
+        params = convert_giga_state_dict(golden.state_dict(), cfg)
+        rng = np.random.RandomState(6)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        p = rng.uniform(-0.5, 0.5, (1, 8, 3)).astype(np.float32)
+        with torch.no_grad():
+            q, r, w, occ = golden(torch.from_numpy(tsdf), torch.from_numpy(p), torch.from_numpy(p))
+        ours = net.apply(params, jnp.asarray(tsdf), jnp.asarray(p), jnp.asarray(p))
+        np.testing.assert_allclose(np.asarray(ours["qual"]), q.numpy(), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(ours["occ"]), occ.numpy(), atol=ATOL)
+
+    def test_giga_geo(self):
+        golden = build_reference_net("giga_geo", seed=7)
+        net, cfg = get_network("giga_geo")
+        params = convert_giga_state_dict(golden.state_dict(), cfg)
+        rng = np.random.RandomState(8)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        p_occ = rng.uniform(-0.5, 0.5, (1, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            occ = golden(torch.from_numpy(tsdf), torch.from_numpy(p_occ), torch.from_numpy(p_occ))
+        ours = net.apply(params, jnp.asarray(tsdf), None, jnp.asarray(p_occ))
+        np.testing.assert_allclose(np.asarray(ours["occ"]), occ.numpy(), atol=ATOL)
+
+    def test_vgn(self):
+        golden = build_reference_net("vgn", seed=9)
+        net, _ = get_network("vgn")
+        params = convert_vgn_state_dict(golden.state_dict())
+        rng = np.random.RandomState(10)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        with torch.no_grad():
+            gq, gr, gw = golden(torch.from_numpy(tsdf[:, None]))
+        q, r, w = net.apply(params, jnp.asarray(tsdf))
+        np.testing.assert_allclose(np.asarray(q), gq.numpy()[:, 0], atol=ATOL)
+        np.testing.assert_allclose(np.asarray(r), gr.numpy().transpose(0, 2, 3, 4, 1), atol=ATOL)
+        np.testing.assert_allclose(np.asarray(w), gw.numpy()[:, 0], atol=ATOL)
+
+
+def _reference_plan(ref, golden, tsdf_vol, qual_th, force_detection, size=0.3):
+    """Run the reference's own planner pipeline (detection_implicit.py:33-85)
+    on a raw (1, 40, 40, 40) grid, returning metric (pos, quat, width, score)."""
+    di = ref["detection_implicit"]
+    R = 40
+    voxel_size = size / R
+    pos = reference_lattice(R)
+    qual, rot, width = di.predict(tsdf_vol, pos, golden, torch.device("cpu"))
+    qual = qual.reshape(R, R, R)
+    rot = rot.reshape(R, R, R, 4)
+    width = width.reshape(R, R, R)
+    qual, rot, width = di.process(tsdf_vol, qual, rot, width, out_th=0.5)
+    qual = di.bound(qual, voxel_size)
+    grasps, scores = di.select(
+        qual.copy(),
+        pos.view(R, R, R, 3).cpu(),
+        rot,
+        width,
+        threshold=qual_th,
+        force_detection=force_detection,
+        max_filter_size=4,
+    )
+    out = []
+    for g, s in zip(grasps, scores):
+        t = (g.pose.translation + 0.5) * size  # detection_implicit.py:70-74
+        out.append((t, g.pose.rotation.as_quat(), g.width * size, float(s)))
+    return out
+
+
+def _structured_tsdf(seed=0):
+    """A TSDF with free space, a surface band, and occluded space — yields
+    many valid voxels after the reference's dilation mask."""
+    rng = np.random.RandomState(seed)
+    z = np.arange(40)[None, None, :]
+    height = 8 + 6 * np.sin(np.arange(40) / 6.0)[:, None, None] + rng.rand(40, 40, 1) * 2
+    tsdf = np.clip((z - height) / 4.0 + 1.0, 0.0, 1.0).astype(np.float32)
+    return tsdf[None]  # (1, 40, 40, 40)
+
+
+@pytest.fixture(scope="module")
+def biased_giga_pair():
+    """Seeded reference GIGA with the qual head biased up so sigmoid outputs
+    clear the planner's LOW_TH=0.5 (random weights peak at ~0.48, which makes
+    every pipeline run degenerate)."""
+    golden = build_reference_net("giga", seed=0)
+    with torch.no_grad():
+        golden.decoder_qual.fc_out.bias += 1.0
+    net, cfg = get_network("giga")
+    params = convert_giga_state_dict(golden.state_dict(), cfg)
+    return golden, net, params
+
+
+class TestPlannerParity:
+    @pytest.mark.parametrize("qual_th,force", [(0.65, False), (0.95, True)])
+    def test_grasp_lists_match(self, ref, biased_giga_pair, qual_th, force):
+        golden, net, params = biased_giga_pair
+        tsdf_vol = _structured_tsdf()
+        theirs = _reference_plan(ref, golden, tsdf_vol, qual_th, force)
+
+        planner = GIGAPlanner(
+            net=net, model_cfg=get_network("giga")[1], params=params,
+            qual_th=qual_th, force_detection=force, best=True,
+            max_grasps=256, rng=np.random.RandomState(0),
+        )
+        grasps, scores, _ = planner(State(tsdf=tsdf_vol))
+
+        assert len(grasps) == len(theirs) > 0, "parity case must be non-degenerate"
+        # match by voxel position (both sides sort by score; ties may reorder)
+        ours_by_pos = {
+            tuple(np.round(g.pose.translation / (0.3 / 40)).astype(int)): (g, s)
+            for g, s in zip(grasps, scores)
+        }
+        for t, quat, w, s in theirs:
+            key = tuple(np.round(t / (0.3 / 40)).astype(int))
+            assert key in ours_by_pos
+            g, score = ours_by_pos[key]
+            np.testing.assert_allclose(g.pose.translation, t, atol=1e-5)
+            np.testing.assert_allclose(g.width, w, atol=1e-5)
+            assert score == pytest.approx(s, abs=1e-4)
+            q_ours = g.pose.rotation.as_quat()
+            assert min(np.abs(q_ours - quat).max(), np.abs(q_ours + quat).max()) < 1e-4
