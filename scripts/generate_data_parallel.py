@@ -128,9 +128,15 @@ def label_grasp_point(sim, pos, normal, num_rotations=6):
 def worker(args, rank):
     from tqdm import tqdm
 
-    np.random.seed()
-    np.random.seed(np.random.randint(0, 1000) + rank)
-    sim = ClutterRemovalSim(args.scene, args.object_set, gui=args.sim_gui)
+    if getattr(args, "seed", None) is not None:
+        np.random.seed(args.seed + rank)
+    else:
+        np.random.seed()
+        np.random.seed(np.random.randint(0, 1000) + rank)
+    sim = ClutterRemovalSim(
+        args.scene, args.object_set, gui=args.sim_gui,
+        urdf_root=getattr(args, "urdf_root", "data/urdfs"),
+    )
     quota = args.num_grasps // args.num_proc
 
     if rank == 0:
@@ -185,6 +191,8 @@ if __name__ == "__main__":
     parser.add_argument("--save-scene", action="store_true", default=True)
     parser.add_argument("--random", action="store_true")
     parser.add_argument("--sim-gui", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--urdf-root", type=str, default="data/urdfs")
     args = parser.parse_args()
     if args.num_proc > 1:
         pool = mp.Pool(processes=args.num_proc)

@@ -26,3 +26,27 @@ import jax  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+SIM_URDF_ROOT = REPO_ROOT / "tests" / "fixtures" / "urdfs"
+
+
+@pytest.fixture
+def fake_pb(monkeypatch):
+    """Install tests/fake_pybullet as the pybullet module so the sim stack
+    (btsim/simulation/clutter_removal/data-gen scripts) executes for real.
+
+    Function-scoped with monkeypatch cleanup so the import-gating tests in
+    test_sim.py still see an environment without pybullet."""
+    import tests.fake_pybullet as fpb
+    from giga_tpu.sim import btsim
+
+    fpb.reset_module_state()
+    monkeypatch.setitem(sys.modules, "pybullet", fpb)
+    monkeypatch.setitem(sys.modules, "pybullet_utils", fpb.pybullet_utils)
+    monkeypatch.setitem(sys.modules, "pybullet_utils.bullet_client", fpb.bullet_client)
+    monkeypatch.setattr(btsim, "_pb", fpb)
+    monkeypatch.setattr(btsim, "_bullet_client", fpb.bullet_client)
+    monkeypatch.setattr(btsim, "PYBULLET_AVAILABLE", True)
+    return fpb
