@@ -29,6 +29,15 @@ class UNet2DConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class UNet3DConfig:
+    """3D U-Net for the 'grid' branch (reference: ConvONets/encoder/unet3d.py:477)."""
+
+    f_maps: int = 32
+    num_levels: int = 3
+    num_groups: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class EncoderConfig:
     """Triplane voxel encoder (reference: ConvONets/encoder/voxels.py:10-121)."""
 
@@ -38,6 +47,10 @@ class EncoderConfig:
     kernel_size: int = 3
     padding: float = 0.0  # coordinate-normalization padding, 0 for GIGA
     unet: UNet2DConfig = UNet2DConfig()
+    # 'grid' branch: scatter to a 3D grid refined by a 3D U-Net instead of
+    # planes (reference voxels.py:74-86; not used by the shipped presets)
+    grid_resolution: int = 32
+    unet3d: UNet3DConfig = UNet3DConfig()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +108,19 @@ def giga_detach() -> GIGAConfig:
     return GIGAConfig(name="giga_detach", decoder_tsdf=True, detach_tsdf=True)
 
 
+def giga_grid() -> GIGAConfig:
+    """3D-feature-grid variant (reference voxels.py:74-86 + unet3d.py:477;
+    expressible in the reference's config system but not a shipped preset)."""
+    return GIGAConfig(
+        name="giga_grid",
+        encoder=EncoderConfig(plane_types=("grid",), grid_resolution=40),
+        # sum-mode features: the reference's grid+concat path is unreachable
+        # (decoder.py:138-146 torch.cat over a raw tensor)
+        decoder=DecoderConfig(concat_feat=False),
+        decoder_tsdf=True,
+    )
+
+
 def vgn() -> VGNConfig:
     return VGNConfig()
 
@@ -104,6 +130,7 @@ PRESETS = {
     "giga_aff": giga_aff,
     "giga_geo": giga_geo,
     "giga_detach": giga_detach,
+    "giga_grid": giga_grid,
     "vgn": vgn,
 }
 

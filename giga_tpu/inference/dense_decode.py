@@ -42,6 +42,7 @@ def sample_planes_on_lattice(planes: dict, coords: jnp.ndarray, plane_reso: int,
     (e.g. planes['xz'][ix, iz]).
     """
     m = interp_matrix_1d(coords, plane_reso, padding)
+    m = m.astype(next(iter(planes.values())).dtype)  # keep bf16 trunks bf16
     out = {}
     for t, plane in planes.items():
         # sample_plane_lattice returns [row_q, col_q, C]; row = second plane
@@ -73,9 +74,14 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
     R = coords.shape[0]
     heads = dec_params["fc_p_kernel"].shape[0]
     h = dec_params["fc_p_kernel"].shape[-1]
-    c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+    coords = coords.astype(dec_params["fc_p_kernel"].dtype)
 
-    fxz, fxy, fyz = feats["xz"], feats["xy"], feats["yz"]
+    # 'dense': pre-sampled (R, R, R, C) features (the 'grid' encoder variant)
+    # — no per-plane factorization applies, fc_c runs on the full volume
+    dense = feats.get("dense")
+    if dense is None:
+        c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+        fxz, fxy, fyz = feats["xz"], feats["xy"], feats["yz"]
 
     # fc_p is linear in (x, y, z): separable broadcast
     w_p = dec_params["fc_p_kernel"]  # (e, 3, h)
@@ -93,20 +99,26 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
         net = jax.lax.with_sharding_constraint(net, shard_constraint)
 
     def block(net, i):
-        # fc_c[i] split into per-plane projections on the 2D lattices
-        w_c = dec_params[f"fc_c{i}_kernel"]  # (e, 3c, h)
+        w_c = dec_params[f"fc_c{i}_kernel"]  # (e, 3c|c, h)
         b_c = dec_params[f"fc_c{i}_bias"]
-        w_xz, w_xy, w_yz = w_c[:, :c_dim], w_c[:, c_dim : 2 * c_dim], w_c[:, 2 * c_dim :]
-        pxz = jnp.einsum("abc,ech->eabh", fxz, w_xz, precision=HI)  # (e, Rx, Rz, h)
-        pxy = jnp.einsum("abc,ech->eabh", fxy, w_xy, precision=HI)  # (e, Rx, Ry, h)
-        pyz = jnp.einsum("abc,ech->eabh", fyz, w_yz, precision=HI)  # (e, Ry, Rz, h)
-        net = (
-            net
-            + pxz[:, :, None, :, :]
-            + pxy[:, :, :, None, :]
-            + pyz[:, None, :, :, :]
-            + b_c[:, None, None, None, :]
-        )
+        if dense is not None:
+            proj = jnp.einsum("abcf,efh->eabch", dense, w_c, precision=HI)
+            net = net + proj + b_c[:, None, None, None, :]
+        else:
+            # fc_c[i] split into per-plane projections on the 2D lattices
+            w_xz, w_xy, w_yz = (
+                w_c[:, :c_dim], w_c[:, c_dim : 2 * c_dim], w_c[:, 2 * c_dim :]
+            )
+            pxz = jnp.einsum("abc,ech->eabh", fxz, w_xz, precision=HI)  # (e, Rx, Rz, h)
+            pxy = jnp.einsum("abc,ech->eabh", fxy, w_xy, precision=HI)  # (e, Rx, Ry, h)
+            pyz = jnp.einsum("abc,ech->eabh", fyz, w_yz, precision=HI)  # (e, Ry, Rz, h)
+            net = (
+                net
+                + pxz[:, :, None, :, :]
+                + pxy[:, :, :, None, :]
+                + pyz[:, None, :, :, :]
+                + b_c[:, None, None, None, :]
+            )
         # ResnetBlockFC on the full volume
         w0, b0 = dec_params[f"block{i}_fc0_kernel"], dec_params[f"block{i}_fc0_bias"]
         w1, b1 = dec_params[f"block{i}_fc1_kernel"], dec_params[f"block{i}_fc1_bias"]
@@ -126,6 +138,102 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
         :, None, None, None, :
     ]
     return out
+
+
+def sample_planes_on_lattice_batched(planes: dict, coords: jnp.ndarray, plane_reso: int,
+                                     padding: float):
+    """Batched lattice sampling: {t: (B, H, W, C)} -> {t: (B, R, R, C)}
+    indexed [b, first_axis_query, second_axis_query, C]."""
+    m = interp_matrix_1d(coords, plane_reso, padding)
+    m = m.astype(next(iter(planes.values())).dtype)
+    out = {}
+    for t, plane in planes.items():
+        s = jnp.einsum("rh,bhwc->brwc", m, plane, precision=HI)
+        s = jnp.einsum("qw,brwc->brqc", m, s, precision=HI)
+        out[t] = s.transpose(0, 2, 1, 3)  # [b, row, col] -> [b, first, second]
+    return out
+
+
+def decode_dense_batched(dec_params: dict, feats: dict, coords: jnp.ndarray,
+                         n_blocks: int = 5, shard_constraint=None):
+    """Batched ``decode_dense``: one program over B scenes, no vmap.
+
+    feats: {t: (B, R, R, C)} per-plane lattice features (or
+    {'dense': (B, R, R, R, C)} for the grid variant).
+    Returns (heads, B, R, R, R, out_dim).
+    """
+    dense = feats.get("dense")
+    if dense is None:
+        c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+        fxz, fxy, fyz = feats["xz"], feats["xy"], feats["yz"]
+        B = fxz.shape[0]
+    else:
+        B = dense.shape[0]
+    coords = coords.astype(dec_params["fc_p_kernel"].dtype)
+
+    w_p = dec_params["fc_p_kernel"]  # (e, 3, h)
+    b_p = dec_params["fc_p_bias"]  # (e, h)
+    px = jnp.einsum("r,ek->erk", coords, w_p[:, 0], precision=HI)
+    py = jnp.einsum("r,ek->erk", coords, w_p[:, 1], precision=HI)
+    pz = jnp.einsum("r,ek->erk", coords, w_p[:, 2], precision=HI)
+    net = (
+        px[:, None, :, None, None, :]
+        + py[:, None, None, :, None, :]
+        + pz[:, None, None, None, :, :]
+        + b_p[:, None, None, None, None, :]
+    )  # (e, 1, Rx, Ry, Rz, h), broadcasts against B below
+    net = jnp.broadcast_to(net, (net.shape[0], B) + net.shape[2:])
+    if shard_constraint is not None:
+        net = jax.lax.with_sharding_constraint(net, shard_constraint)
+
+    def block(net, i):
+        w_c = dec_params[f"fc_c{i}_kernel"]
+        b_c = dec_params[f"fc_c{i}_bias"]
+        if dense is not None:
+            proj = jnp.einsum("bxyzf,efh->ebxyzh", dense, w_c, precision=HI)
+            net = net + proj + b_c[:, None, None, None, None, :]
+        else:
+            w_xz, w_xy, w_yz = (
+                w_c[:, :c_dim], w_c[:, c_dim : 2 * c_dim], w_c[:, 2 * c_dim :]
+            )
+            pxz = jnp.einsum("bxzc,ech->ebxzh", fxz, w_xz, precision=HI)
+            pxy = jnp.einsum("bxyc,ech->ebxyh", fxy, w_xy, precision=HI)
+            pyz = jnp.einsum("byzc,ech->ebyzh", fyz, w_yz, precision=HI)
+            net = (
+                net
+                + pxz[:, :, :, None, :, :]
+                + pxy[:, :, :, :, None, :]
+                + pyz[:, :, None, :, :, :]
+                + b_c[:, None, None, None, None, :]
+            )
+        w0, b0 = dec_params[f"block{i}_fc0_kernel"], dec_params[f"block{i}_fc0_bias"]
+        w1, b1 = dec_params[f"block{i}_fc1_kernel"], dec_params[f"block{i}_fc1_bias"]
+        hid = jnp.einsum("e...k,ekj->e...j", jax.nn.relu(net), w0, precision=HI) + b0[
+            :, None, None, None, None, :
+        ]
+        dx = jnp.einsum("e...k,ekj->e...j", jax.nn.relu(hid), w1, precision=HI) + b1[
+            :, None, None, None, None, :
+        ]
+        return net + dx
+
+    for i in range(n_blocks):
+        net = block(net, i)
+
+    w_out, b_out = dec_params["fc_out_kernel"], dec_params["fc_out_bias"]
+    return jnp.einsum("e...k,eko->e...o", jax.nn.relu(net), w_out, precision=HI) + b_out[
+        :, None, None, None, None, :
+    ]
+
+
+def decode_affordance_dense_batched(dec_params: dict, feats: dict, coords: jnp.ndarray,
+                                    n_blocks: int = 5, shard_constraint=None):
+    """Batched (qual, rot, width): (B,R,R,R), (B,R,R,R,4), (B,R,R,R)."""
+    out = decode_dense_batched(dec_params, feats, coords, n_blocks, shard_constraint)
+    qual = jax.nn.sigmoid(out[0, ..., 0])
+    rot = out[1]
+    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+    width = out[2, ..., 0]
+    return qual, rot, width
 
 
 def decode_affordance_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: int = 5,

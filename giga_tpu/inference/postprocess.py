@@ -48,11 +48,11 @@ def mask_quality(qual, tsdf, width, cfg: PlannerConfig):
 
 
 def bound_quality(qual, voxel_size: float, cfg: PlannerConfig):
-    """Zero out workspace borders (reference bound())."""
+    """Zero out workspace borders (reference bound()); last 3 axes spatial."""
     lx = int(cfg.bound_limits[0] / voxel_size)
     ly = int(cfg.bound_limits[1] / voxel_size)
     lz = int(cfg.bound_limits[2] / voxel_size)
-    R = qual.shape[0]
+    R = qual.shape[-1]
     ix = jnp.arange(R)
     mx = (ix >= lx) & (ix < R - lx)
     my = (ix >= ly) & (ix < R - ly)
@@ -92,4 +92,39 @@ def select_grasps(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandi
     top_pos = positions.reshape(-1, 3)[top_idx]
     top_rot = rot.reshape(-1, 4)[top_idx]
     top_width = width.reshape(-1)[top_idx]
+    return GraspCandidates(top_scores, top_pos, top_rot, top_width, count)
+
+
+def select_grasps_batched(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandidates:
+    """Batched threshold + NMS + top-K: one program for (B, R, R, R) scenes.
+
+    Returns GraspCandidates with a leading batch axis on every field.
+    Semantics per scene match ``select_grasps``.
+    """
+    B = qual.shape[0]
+    q = jnp.where(qual < cfg.low_th, 0.0, qual)
+    any_above = jnp.any(q >= cfg.qual_th, axis=(1, 2, 3))  # (B,)
+    best_only = jnp.logical_and(cfg.force_detection, ~any_above)
+    q = jnp.where(
+        best_only[:, None, None, None],
+        q,
+        jnp.where(q < cfg.qual_th, 0.0, q),
+    )
+
+    max_vol = max_filter_3d(q, cfg.max_filter_size)
+    peaks = (q == max_vol) & (q > 0.0)
+
+    flat_scores = jnp.where(peaks, q, -jnp.inf).reshape(B, -1)
+    k = min(cfg.max_grasps, flat_scores.shape[1])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # (B, k)
+    count = jnp.sum(peaks, axis=(1, 2, 3)).astype(jnp.int32)
+    count = jnp.where(best_only, jnp.minimum(count, 1), count)
+    count = jnp.minimum(count, k)
+    rank = jnp.arange(k)[None, :]
+    top_scores = jnp.where(rank < count[:, None], top_scores, -jnp.inf)
+
+    pos_flat = positions.reshape(-1, 3)  # shared lattice
+    top_pos = pos_flat[top_idx]
+    top_rot = jnp.take_along_axis(rot.reshape(B, -1, 4), top_idx[..., None], axis=1)
+    top_width = jnp.take_along_axis(width.reshape(B, -1), top_idx, axis=1)
     return GraspCandidates(top_scores, top_pos, top_rot, top_width, count)

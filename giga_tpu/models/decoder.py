@@ -194,14 +194,29 @@ class LocalPointDecoder(nn.Module):
 
 
 def query_planes(planes: dict, p: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
-    """Sample + concat plane features for a batch of query sets.
+    """Sample plane/grid features for a batch of query sets.
 
-    planes: {t: (B, H, W, C)}, p: (B, N, 3) -> (B, N, 3C).
+    planes: {t: (B, H, W, C)} (or {'grid': (B, D, H, W, C)}), p: (B, N, 3).
+    concat_feat=True concatenates plane samples -> (B, N, 3C) (decoder.py:136-147);
+    concat_feat=False sums them -> (B, N, C) (decoder.py:149-158) — the only
+    sane mode for the 'grid' branch (the reference's grid+concat code path is
+    unreachable: torch.cat over a raw tensor, decoder.py:138-146).
     """
-    if not cfg.concat_feat:
-        raise NotImplementedError("shipped GIGA presets use concat_feat=True")
+    if cfg.concat_feat and "grid" not in planes:
+        def one(planes_b, p_b):
+            return sample_planes_concat(planes_b, p_b, cfg.padding)
 
-    def one(planes_b, p_b):
-        return sample_planes_concat(planes_b, p_b, cfg.padding)
+        return jax.vmap(one)(planes, p)
 
-    return jax.vmap(one)(planes, p)
+    from giga_tpu.ops.sampling import sample_grid, sample_plane
+
+    def one_sum(planes_b, p_b):
+        c = 0
+        for t, plane in planes_b.items():
+            if t == "grid":
+                c = c + sample_grid(plane, p_b, cfg.padding)
+            else:
+                c = c + sample_plane(plane, p_b, t, cfg.padding)
+        return c
+
+    return jax.vmap(one_sum)(planes, p)

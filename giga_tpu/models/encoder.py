@@ -22,7 +22,8 @@ import flax.linen as nn
 from giga_tpu.core.config import EncoderConfig
 from giga_tpu.models.layers import TorchConv
 from giga_tpu.models.unet2d import UNet2D
-from giga_tpu.ops.scatter import scatter_mean_planes
+from giga_tpu.models.unet3d import UNet3D
+from giga_tpu.ops.scatter import scatter_mean_grid, scatter_mean_planes
 
 
 def voxel_lattice_points(shape, dtype=jnp.float32):
@@ -49,6 +50,10 @@ class TriplaneVoxelEncoder(nn.Module):
         x = x[..., None]  # NDHWC
         feat = jax.nn.relu(TorchConv(cfg.c_dim, cfg.kernel_size, name="conv_in")(x))
         # feat: (B, X, Y, Z, C)
+
+        if "grid" in cfg.plane_types:
+            # grid branch replaces the planes entirely (voxels.py:111-113)
+            return {"grid": self._grid_features(feat, in_res)}
 
         lattice_exact = (
             cfg.padding == 0.0
@@ -77,3 +82,24 @@ class TriplaneVoxelEncoder(nn.Module):
         refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
         chunks = jnp.split(refined, len(order), axis=0)
         return {t: c for t, c in zip(order, chunks)}
+
+    def _grid_features(self, feat, in_res):
+        """(B, X, Y, Z, C) voxel features -> refined (B, Z, Y, X, C) grid
+        (reference generate_grid_features, voxels.py:74-86).
+
+        With padding=0 and grid_resolution == input resolution, the
+        normalize->index->scatter chain maps voxel (x, y, z) to cell
+        (z, y, x) one-to-one — a transpose, not a scatter (same static-
+        lattice insight as the plane path)."""
+        cfg = self.cfg
+        if cfg.padding == 0.0 and in_res == (cfg.grid_resolution,) * 3:
+            grid = feat.transpose(0, 3, 2, 1, 4)
+        else:
+            B = feat.shape[0]
+            pts = voxel_lattice_points(in_res)
+            pts = jnp.broadcast_to(pts[None], (B,) + pts.shape).reshape(B, -1, 3)
+            grid = scatter_mean_grid(
+                pts, feat.reshape(B, -1, cfg.c_dim), cfg.grid_resolution, cfg.padding
+            )
+        return UNet3D(cfg.c_dim, cfg.unet3d.f_maps, cfg.unet3d.num_levels,
+                      cfg.unet3d.num_groups, name="unet3d")(grid)

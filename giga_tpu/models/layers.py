@@ -116,6 +116,7 @@ class TorchConv(nn.Module):
     padding: object = None
     kernel_init: object = None
     xavier: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -141,6 +142,7 @@ class TorchConv(nn.Module):
             padding=padding,
             kernel_init=kinit,
             bias_init=binit,
+            use_bias=self.use_bias,
             name="conv",
         )
         return conv(x)

@@ -136,18 +136,20 @@ class LocalPoolPointnet(nn.Module):
             net = ResnetBlockFC(size_out=h, name=f"block{i}")(net)
         c = TorchDense(cfg.c_dim, name="fc_c")(net)
 
-        planes = {
-            t: scatter_mean_planes(p, c, t, reso, cfg.padding)
-            for t in cfg.plane_types
-        }
-        order = [t for t in ("xz", "xy", "yz") if t in planes]
-        stacked = jnp.concatenate([planes[t] for t in order], axis=0)
-        refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
-        chunks = jnp.split(refined, len(order), axis=0)
-        fea = {t: ch for t, ch in zip(order, chunks)}
+        fea = {}
+        order = [t for t in ("xz", "xy", "yz") if t in cfg.plane_types]
+        if order:
+            planes = {
+                t: scatter_mean_planes(p, c, t, reso, cfg.padding) for t in order
+            }
+            stacked = jnp.concatenate([planes[t] for t in order], axis=0)
+            refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
+            chunks = jnp.split(refined, len(order), axis=0)
+            fea = {t: ch for t, ch in zip(order, chunks)}
         if self.use_grid:
             from giga_tpu.models.unet3d import UNet3D
 
             g = scatter_mean_grid(p, c, self.grid_resolution, cfg.padding)
-            fea["grid"] = UNet3D(cfg.c_dim, name="unet3d")(g)
+            fea["grid"] = UNet3D(cfg.c_dim, cfg.unet3d.f_maps, cfg.unet3d.num_levels,
+                                 cfg.unet3d.num_groups, name="unet3d")(g)
         return fea

@@ -53,6 +53,72 @@ def _deconv2d(sd, key):
     return {"kernel": sd[key + ".weight"].transpose(0, 2, 3, 1), "bias": sd[key + ".bias"]}
 
 
+def _groupnorm(sd, key):
+    return {"scale": sd[key + ".weight"], "bias": sd[key + ".bias"]}
+
+
+def _single_conv_gcr(sd, prefix):
+    return {
+        "groupnorm": _groupnorm(sd, prefix + ".groupnorm"),
+        "conv": {"conv": {"kernel": sd[prefix + ".conv.weight"].transpose(2, 3, 4, 1, 0)}},
+    }
+
+
+def convert_unet3d_params(sd, prefix, num_levels):
+    """Reference UNet3D (unet3d.py:361-500, 'gcr' DoubleConv) -> flax tree.
+
+    Torch names: {prefix}.encoders.{i}.basic_module.SingleConv{1,2}.*,
+    {prefix}.decoders.{i}.basic_module.*, {prefix}.final_conv.*
+    """
+    p = (prefix + ".") if prefix else ""
+    out = {}
+    for i in range(num_levels):
+        out[f"encoders_{i}"] = {
+            c: _single_conv_gcr(sd, f"{p}encoders.{i}.basic_module.{c}")
+            for c in ("SingleConv1", "SingleConv2")
+        }
+    for i in range(num_levels - 1):
+        out[f"decoders_{i}"] = {
+            c: _single_conv_gcr(sd, f"{p}decoders.{i}.basic_module.{c}")
+            for c in ("SingleConv1", "SingleConv2")
+        }
+    out["final_conv"] = {"conv": _conv3d(sd, f"{p}final_conv")}
+    return out
+
+
+def _dense(sd, key, bias=True):
+    out = {"kernel": sd[key + ".weight"].T}
+    if bias:
+        out["bias"] = sd[key + ".bias"]
+    return out
+
+
+def _resnet_fc(sd, prefix):
+    out = {"fc_0": _dense(sd, prefix + ".fc_0"), "fc_1": _dense(sd, prefix + ".fc_1")}
+    if prefix + ".shortcut.weight" in sd:
+        out["shortcut"] = _dense(sd, prefix + ".shortcut", bias=False)
+    return out
+
+
+def convert_pointnet_state_dict(sd: dict, n_blocks: int = 5) -> dict:
+    """Reference LocalPoolPointnet (pointnet.py:11-157) -> flax param tree.
+
+    Handles both the triplane (unet) and grid (unet3d) variants; the U-Net
+    depth / level count is inferred from the state_dict keys.
+    """
+    sd = _to_numpy(sd)
+    params = {"fc_pos": _dense(sd, "fc_pos"), "fc_c": _dense(sd, "fc_c")}
+    for i in range(n_blocks):
+        params[f"block{i}"] = _resnet_fc(sd, f"blocks.{i}")
+    unet_downs = {int(k.split(".")[2]) for k in sd if k.startswith("unet.down_convs.")}
+    if unet_downs:
+        params["unet"] = _unet_params(sd, "unet", max(unet_downs) + 1)
+    unet3d_encs = {int(k.split(".")[2]) for k in sd if k.startswith("unet3d.encoders.")}
+    if unet3d_encs:
+        params["unet3d"] = convert_unet3d_params(sd, "unet3d", max(unet3d_encs) + 1)
+    return {"params": params}
+
+
 def _unet_params(sd, prefix, depth):
     unet = {}
     for i in range(depth):
@@ -108,12 +174,14 @@ def _stacked_decoder(sd, head_names, n_blocks, out_dim):
 
 def convert_giga_state_dict(sd: dict, cfg: GIGAConfig) -> dict:
     sd = _to_numpy(sd)
-    params = {
-        "encoder": {
-            "conv_in": {"conv": _conv3d(sd, "encoder.conv_in")},
-            "unet": _unet_params(sd, "encoder.unet", cfg.encoder.unet.depth),
-        }
-    }
+    encoder = {"conv_in": {"conv": _conv3d(sd, "encoder.conv_in")}}
+    if "grid" in cfg.encoder.plane_types:
+        encoder["unet3d"] = convert_unet3d_params(
+            sd, "encoder.unet3d", cfg.encoder.unet3d.num_levels
+        )
+    else:
+        encoder["unet"] = _unet_params(sd, "encoder.unet", cfg.encoder.unet.depth)
+    params = {"encoder": encoder}
     if cfg.has_affordance:
         params["decoder_aff"] = _stacked_decoder(
             sd, ["decoder_qual", "decoder_rot", "decoder_width"], cfg.decoder.n_blocks, out_dim=4

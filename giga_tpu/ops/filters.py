@@ -30,7 +30,7 @@ def gaussian_blur_3d(vol: jnp.ndarray, sigma: float = 1.0, truncate: float = 4.0
     """Separable Gaussian blur with edge-replicate ('nearest') boundaries.
 
     Matches ndimage.gaussian_filter(vol, sigma, mode='nearest') to fp32
-    accuracy for a (D, H, W) volume.
+    accuracy over the LAST THREE axes; leading axes (batch) pass through.
     """
     k = jnp.asarray(gaussian_kernel_1d(sigma, truncate))
     r = (k.shape[0] - 1) // 2
@@ -44,15 +44,16 @@ def gaussian_blur_3d(vol: jnp.ndarray, sigma: float = 1.0, truncate: float = 4.0
         out = jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(flat)
         return jnp.moveaxis(out.reshape(shape), -1, axis)
 
-    for axis in range(vol.ndim):
+    for axis in range(vol.ndim - 3, vol.ndim):
         vol = blur_axis(vol, axis)
     return vol
 
 
 def _cross_dilate(b: jnp.ndarray) -> jnp.ndarray:
-    """One binary dilation step with the 6-connected (connectivity-1) structure."""
+    """One binary dilation step with the 6-connected structure over the last
+    three axes (leading axes are batch)."""
     out = b
-    for axis in range(b.ndim):
+    for axis in range(b.ndim - 3, b.ndim):
         fwd = jnp.pad(b, [(1, 0) if a == axis else (0, 0) for a in range(b.ndim)])
         fwd = jax.lax.slice_in_dim(fwd, 0, b.shape[axis], axis=axis)
         bwd = jnp.pad(b, [(0, 1) if a == axis else (0, 0) for a in range(b.ndim)])
@@ -74,7 +75,8 @@ def masked_binary_dilation(seed: jnp.ndarray, mask: jnp.ndarray, iterations: int
 
 
 def max_filter_3d(vol: jnp.ndarray, size: int) -> jnp.ndarray:
-    """ndimage.maximum_filter(vol, size=size) over a (D, H, W) volume.
+    """ndimage.maximum_filter(vol, size=size) over the last three axes
+    (leading axes are batch).
 
     scipy's window for even ``size`` spans offsets [-size//2, size - size//2 - 1]
     around each output voxel; -inf padding is equivalent to scipy's 'reflect'
@@ -82,11 +84,12 @@ def max_filter_3d(vol: jnp.ndarray, size: int) -> jnp.ndarray:
     """
     lo = size // 2
     hi = size - lo - 1
+    lead = vol.ndim - 3
     return jax.lax.reduce_window(
         vol,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(size,) * vol.ndim,
+        window_dimensions=(1,) * lead + (size,) * 3,
         window_strides=(1,) * vol.ndim,
-        padding=[(lo, hi)] * vol.ndim,
+        padding=[(0, 0)] * lead + [(lo, hi)] * 3,
     )

@@ -91,7 +91,7 @@ class TestVGNParity:
 
 
 class TestVariants:
-    @pytest.mark.parametrize("name", ["giga_aff", "giga_geo", "giga_detach"])
+    @pytest.mark.parametrize("name", ["giga_aff", "giga_geo", "giga_detach", "giga_grid"])
     def test_variant_init_and_forward(self, name):
         import jax
 

@@ -95,6 +95,43 @@ def reference_postprocess(tsdf, qual, rot, width, cfg: PlannerConfig, voxel_size
     return out
 
 
+class TestGridVariantPlanner:
+    def test_dense_grid_decode_matches_gather(self):
+        """giga_grid: the planner's trilinear lattice decode equals the
+        module's gather-path decode_affordance."""
+        net, cfg = get_network("giga_grid")
+        tsdf = jnp.zeros((1, 40, 40, 40))
+        p = jnp.zeros((1, 4, 3))
+        params = net.init(jax.random.PRNGKey(0), tsdf, p, p)
+
+        from giga_tpu.inference.planner import _lattice_features
+
+        rng = np.random.RandomState(1)
+        grid = jnp.asarray(rng.rand(1, 40, 40, 40).astype(np.float32))
+        planes = net.apply(params, grid, method="encode")
+        coords = lattice_coords(40)
+        x, y, z = jnp.meshgrid(coords, coords, coords, indexing="ij")
+        pts = jnp.stack([x, y, z], -1).reshape(1, -1, 3)
+        qual_g, rot_g, width_g = net.apply(params, planes, pts, method="decode_affordance")
+
+        feats = _lattice_features({t: v[0] for t, v in planes.items()}, coords, cfg)
+        qd, rd, wd = decode_affordance_dense(params["params"]["decoder_aff"], feats, coords)
+        np.testing.assert_allclose(np.asarray(qd).ravel(), np.asarray(qual_g)[0], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(rd).reshape(-1, 4), np.asarray(rot_g)[0], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(wd).ravel(), np.asarray(width_g)[0], atol=2e-5)
+
+    def test_grid_planner_end_to_end(self):
+        net, cfg = get_network("giga_grid")
+        tsdf = jnp.zeros((1, 40, 40, 40))
+        p = jnp.zeros((1, 4, 3))
+        params = net.init(jax.random.PRNGKey(0), tsdf, p, p)
+        planner = GIGAPlanner(net=net, model_cfg=cfg, params=params,
+                              force_detection=True, rng=np.random.RandomState(0))
+        grid = np.random.RandomState(0).rand(1, 40, 40, 40).astype(np.float32)
+        grasps, scores, toc = planner(State(tsdf=grid))
+        assert isinstance(grasps, list) and toc > 0
+
+
 class TestPostprocess:
     @pytest.mark.parametrize("force", [False, True])
     def test_matches_reference_pipeline(self, force):

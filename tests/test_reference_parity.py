@@ -120,6 +120,147 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(w), gw.numpy()[:, 0], atol=ATOL)
 
 
+class TestGridVariantParity:
+    """The 3D-feature-grid encoder branch (reference voxels.py:74-86 +
+    unet3d.py:477), expressible in the reference's config system though not
+    shipped as a preset."""
+
+    GRID_CONFIG = {
+        "encoder": "voxel_simple_local",
+        "encoder_kwargs": {
+            "plane_type": ["grid"],
+            "grid_resolution": 40,
+            "unet3d": True,
+            "unet3d_kwargs": {
+                "num_levels": 3, "f_maps": 32,
+                "in_channels": 32, "out_channels": 32, "num_groups": 8,
+            },
+        },
+        "decoder": "simple_local",
+        "decoder_tsdf": True,
+        "decoder_kwargs": {
+            "dim": 3, "sample_mode": "bilinear", "hidden_size": 32,
+            # concat_feat=False: the reference's grid+concat path is
+            # unreachable (decoder.py:138-146 torch.cat over a raw tensor)
+            "concat_feat": False,
+        },
+        "padding": 0,
+        "c_dim": 32,
+    }
+
+    def test_grid_forward(self, ref):
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        from vgn.ConvONets.conv_onet.config import get_model
+
+        torch.manual_seed(21)
+        golden = get_model(self.GRID_CONFIG).eval()
+        net, cfg = get_network("giga_grid")
+        params = convert_giga_state_dict(golden.state_dict(), cfg)
+
+        rng = np.random.RandomState(22)
+        tsdf = rng.rand(1, 40, 40, 40).astype(np.float32)
+        p = rng.uniform(-0.5, 0.5, (1, 24, 3)).astype(np.float32)
+        p_occ = rng.uniform(-0.5, 0.5, (1, 12, 3)).astype(np.float32)
+        with torch.no_grad():
+            q, r, w, occ = golden(
+                torch.from_numpy(tsdf), torch.from_numpy(p), torch.from_numpy(p_occ)
+            )
+        ours = net.apply(params, jnp.asarray(tsdf), jnp.asarray(p), jnp.asarray(p_occ))
+        # the 3D U-Net's groupnorm reductions accumulate in a different
+        # order than torch; 5e-5 instead of the linear chains' 2e-5
+        np.testing.assert_allclose(np.asarray(ours["qual"]), q.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ours["rot"]), r.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ours["width"]), w.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(ours["occ"]), occ.numpy(), atol=5e-5)
+
+    def test_unet3d_block(self, ref):
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        from vgn.ConvONets.encoder.unet3d import UNet3D as RefUNet3D
+
+        from giga_tpu.models.torch_convert import _to_numpy, convert_unet3d_params
+        from giga_tpu.models.unet3d import UNet3D
+
+        torch.manual_seed(0)
+        golden = RefUNet3D(in_channels=32, out_channels=32, f_maps=32, num_levels=3).eval()
+        params = {"params": convert_unet3d_params(_to_numpy(golden.state_dict()), "", 3)}
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, 32, 12, 16, 20).astype(np.float32)  # odd sizes exercise
+        with torch.no_grad():                                 # the nearest-resize
+            gold = golden(torch.from_numpy(x)).numpy()
+        ours = UNet3D(out_channels=32, f_maps=32, num_levels=3).apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 4, 1, 2, 3), gold, atol=5e-5
+        )
+
+
+class TestPointnetParity:
+    """LocalPoolPointnet vs the reference's actual module (pointnet.py:11-157),
+    both the triplane(+2D U-Net) and grid(+3D U-Net) variants, through the
+    real torch_scatter call pattern (via the oracle shim)."""
+
+    def _golden(self, **over):
+        from vgn.ConvONets.encoder.pointnet import LocalPoolPointnet as RefLPP
+
+        kwargs = dict(
+            c_dim=32, dim=3, hidden_dim=32, scatter_type="max",
+            plane_resolution=40, plane_type=["xz", "xy", "yz"],
+            padding=0.1, n_blocks=5,
+            unet=True, unet_kwargs={"depth": 3, "merge_mode": "concat", "start_filts": 32},
+        )
+        kwargs.update(over)
+        torch.manual_seed(31)
+        return RefLPP(**kwargs).eval()
+
+    def test_triplane(self, ref):
+        from giga_tpu.core.config import EncoderConfig
+        from giga_tpu.models.pointnet import LocalPoolPointnet
+        from giga_tpu.models.torch_convert import convert_pointnet_state_dict
+
+        golden = self._golden()
+        params = convert_pointnet_state_dict(golden.state_dict())
+        cfg = EncoderConfig(padding=0.1)
+        net = LocalPoolPointnet(cfg=cfg, hidden_dim=32, scatter_type="max")
+        rng = np.random.RandomState(32)
+        pts = rng.uniform(-0.5, 0.5, (2, 256, 3)).astype(np.float32)
+        with torch.no_grad():
+            gold = golden(torch.from_numpy(pts))
+        ours = net.apply(params, jnp.asarray(pts))
+        for t in ("xz", "xy", "yz"):
+            np.testing.assert_allclose(
+                np.asarray(ours[t]).transpose(0, 3, 1, 2), gold[t].numpy(), atol=2e-5
+            )
+
+    def test_grid(self, ref):
+        from giga_tpu.core.config import EncoderConfig
+        from giga_tpu.models.pointnet import LocalPoolPointnet
+        from giga_tpu.models.torch_convert import convert_pointnet_state_dict
+
+        golden = self._golden(
+            plane_type=["grid"], grid_resolution=24, unet=False, unet_kwargs=None,
+            unet3d=True,
+            unet3d_kwargs={"num_levels": 3, "f_maps": 32,
+                           "in_channels": 32, "out_channels": 32, "num_groups": 8},
+        )
+        params = convert_pointnet_state_dict(golden.state_dict())
+        cfg = EncoderConfig(padding=0.1, plane_types=())
+        net = LocalPoolPointnet(cfg=cfg, hidden_dim=32, scatter_type="max",
+                                use_grid=True, grid_resolution=24)
+        rng = np.random.RandomState(33)
+        pts = rng.uniform(-0.5, 0.5, (1, 200, 3)).astype(np.float32)
+        with torch.no_grad():
+            gold = golden(torch.from_numpy(pts))["grid"].numpy()
+        ours = np.asarray(net.apply(params, jnp.asarray(pts))["grid"])
+        # the scatter itself is bit-exact (verified standalone); the slack is
+        # groupnorm over a mostly-empty grid amplifying ~1e-6 MLP diffs
+        np.testing.assert_allclose(ours.transpose(0, 4, 1, 2, 3), gold, atol=5e-4)
+
+
 def _reference_plan(ref, golden, tsdf_vol, qual_th, force_detection, size=0.3):
     """Run the reference's own planner pipeline (detection_implicit.py:33-85)
     on a raw (1, 40, 40, 40) grid, returning metric (pos, quat, width, score)."""
