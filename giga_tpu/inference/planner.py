@@ -131,7 +131,7 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
 
 
 def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig,
-                                  size: float, dtype=None):
+                                  size: float, dtype=None, use_pallas: bool = False):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
@@ -166,9 +166,19 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                     planes, coords, model_cfg.encoder.plane_resolution,
                     model_cfg.decoder.padding,
                 )
-            qual, rot, width = decode_affordance_dense_batched(
-                p["decoder_aff"], feats, coords, n_blocks
-            )
+            if use_pallas and "dense" not in feats and jax.default_backend() == "tpu":
+                from giga_tpu.ops.pallas.decoder_kernel import (
+                    decode_affordance_dense_pallas_batched,
+                )
+
+                qual, rot, width = decode_affordance_dense_pallas_batched(
+                    p["decoder_aff"], feats, coords, n_blocks,
+                    compute_dtype=jnp.bfloat16 if dtype is not None else jnp.float32,
+                )
+            else:
+                qual, rot, width = decode_affordance_dense_batched(
+                    p["decoder_aff"], feats, coords, n_blocks
+                )
             # postprocess always runs fp32 (threshold/NMS/top-K ordering)
             qual, rot, width = (
                 x.astype(jnp.float32) for x in (qual, rot, width)

@@ -1,0 +1,67 @@
+"""Honest device timing through remote-accelerator tunnels.
+
+The axon TPU backend (and remote runtimes like it) report arrays as "ready"
+while the computation is still queued remotely: ``jax.block_until_ready``
+returns in dispatch time (~0.25 ms), NOT execution time. Per-call timings
+built on it measure the RPC floor and can overstate throughput by 1000x
+(discovered in round 2: the round-1 "0.12 ms/scene" planner latency was a
+dispatch time; the true device latency was ~3.6 ms).
+
+The only reliable synchronization is a host fetch of output data. To measure
+true per-call latency, run ``n`` calls with ONE synchronizing fetch at the
+end and take the marginal slope:
+
+    t(n_hi) - t(n_lo)
+    -----------------  ==  per-call device (+ queue) time
+       n_hi - n_lo
+
+which cancels the fetch cost and the constant dispatch overhead of the first
+call. ``dispatch_floor`` (the slope of a trivial program) is reported
+separately so flop-level analysis can subtract it.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _sync_fetch(result):
+    """Force one element of the result tree onto the host (true barrier)."""
+    import jax
+
+    leaf = jax.tree.leaves(result)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def true_latency(fn, args_list, n_lo: int = 1, n_hi: int = 33, repeats: int = 3) -> float:
+    """Marginal per-call seconds of ``fn(*args)`` via end-fetch scaling.
+
+    Args:
+        fn: jitted callable (must already be warm for every args shape).
+        args_list: list of argument tuples cycled through (varying inputs
+            defeats any remote result caching).
+    """
+    def run_n(n: int) -> float:
+        t0 = time.perf_counter()
+        r = None
+        for i in range(n):
+            r = fn(*args_list[i % len(args_list)])
+        _sync_fetch(r)
+        return time.perf_counter() - t0
+
+    run_n(1)  # warm the fetch path
+    lo = min(run_n(n_lo) for _ in range(repeats))
+    hi = min(run_n(n_hi) for _ in range(repeats))
+    return max((hi - lo) / (n_hi - n_lo), 1e-9)
+
+
+def dispatch_floor(repeats: int = 3) -> float:
+    """Per-call cost of a trivial program (tunnel RPC + scheduling floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    xs = [jnp.full((8, 8), float(i)) for i in range(8)]
+    tiny = jax.jit(jnp.sum)
+    return true_latency(tiny, [(x,) for x in xs], repeats=repeats)
