@@ -188,6 +188,12 @@ class Logger:
     def log_mesh(self, scene_mesh, aff_mesh, name: str) -> None:
         scene_mesh.export(self.logdir / "meshes" / (name + "_scene.obj"))
         aff_mesh.export(self.logdir / "meshes" / (name + "_aff.obj"))
+        # rendered affordance imagery (role of the reference's pyrender
+        # offscreen rendering of the composed scene, utils/visual.py)
+        from giga_tpu.utils.render import render_mesh_image, save_image
+
+        img = render_mesh_image(aff_mesh)
+        save_image(img, self.logdir / "meshes" / (name + "_aff.png"))
 
     def log_grasp(self, round_id, state, t_integration, t_plan, grasp, score, label) -> None:
         scene_id = uuid.uuid4().hex

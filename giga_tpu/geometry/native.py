@@ -80,6 +80,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.raster_mesh.restype = ctypes.c_int
+        lib.raster_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+        ]
         lib.simplify_mesh.restype = ctypes.c_int
         lib.simplify_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -152,6 +163,101 @@ def marching_tetrahedra(grid: np.ndarray, iso: float):
     finally:
         lib.free_mesh_buffers(verts_p, tris_p)
     return verts, tris
+
+
+def raster_mesh(verts_cam: np.ndarray, faces: np.ndarray, face_colors: np.ndarray,
+                fx: float, fy: float, cx: float, cy: float,
+                width: int, height: int, background,
+                ambient: float = 0.35, znear: float = 1e-4,
+                light=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """Z-buffered flat-shaded rasterization -> (H, W, 3) uint8 image.
+
+    ``verts_cam`` are camera-frame positions (+z forward); ``face_colors``
+    is (F, 4) RGBA (alpha<255 faces blend over the opaque pass). Native
+    stand-in for pyrender offscreen rendering (reference utils/visual.py).
+    Falls back to a numpy per-face loop without a toolchain.
+    """
+    verts_cam = np.ascontiguousarray(verts_cam, dtype=np.float64).reshape(-1, 3)
+    faces = np.ascontiguousarray(faces, dtype=np.int64).reshape(-1, 3)
+    face_colors = np.ascontiguousarray(face_colors, dtype=np.uint8).reshape(-1, 4)
+    assert len(face_colors) == len(faces)
+    img = np.empty((height, width, 3), np.uint8)
+    img[:] = np.asarray(background, np.uint8)
+    if len(faces) == 0:
+        return img
+    light_arr = np.ascontiguousarray(light, dtype=np.float64)
+
+    lib = get_lib()
+    if lib is not None:
+        zbuf = np.empty((height, width), np.float64)
+        rc = lib.raster_mesh(
+            verts_cam.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts_cam),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+            face_colors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            float(fx), float(fy), float(cx), float(cy),
+            int(width), int(height), float(ambient), float(znear),
+            light_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            zbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if rc == 0:
+            return img
+    return _raster_numpy(verts_cam, faces, face_colors, fx, fy, cx, cy,
+                         width, height, img, ambient, znear, light_arr)
+
+
+def _raster_numpy(verts_cam, faces, face_colors, fx, fy, cx, cy,
+                  width, height, img, ambient, znear, light):
+    """Per-face numpy fallback mirroring raster.cpp (slow, small meshes)."""
+    L = light / max(np.linalg.norm(light), 1e-12)
+    zbuf = np.full((height, width), np.inf)
+    tri_all = verts_cam[faces]  # (F, 3, 3)
+    order = np.concatenate(
+        [np.flatnonzero(face_colors[:, 3] == 255),
+         np.flatnonzero(face_colors[:, 3] < 255)]
+    )
+    for f in order:
+        tri = tri_all[f]
+        if np.any(tri[:, 2] <= znear):
+            continue
+        su = fx * tri[:, 0] / tri[:, 2] + cx
+        sv = fy * tri[:, 1] / tri[:, 2] + cy
+        sz = 1.0 / tri[:, 2]
+        area = (su[1] - su[0]) * (sv[2] - sv[0]) - (sv[1] - sv[0]) * (su[2] - su[0])
+        if abs(area) < 1e-12:
+            continue
+        n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
+        n /= max(np.linalg.norm(n), 1e-300)
+        shade = ambient + (1 - ambient) * abs(float(n @ L))
+        rgb = face_colors[f, :3].astype(np.float64) * shade
+        a01 = face_colors[f, 3] / 255.0
+        x0 = max(int(np.floor(su.min())), 0)
+        x1 = min(int(np.ceil(su.max())), width - 1)
+        y0 = max(int(np.floor(sv.min())), 0)
+        y1 = min(int(np.ceil(sv.max())), height - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1) + 0.5,
+                             np.arange(y0, y1 + 1) + 0.5)
+        w0 = ((su[1] - xs) * (sv[2] - ys) - (sv[1] - ys) * (su[2] - xs)) / area
+        w1 = ((su[2] - xs) * (sv[0] - ys) - (sv[2] - ys) * (su[0] - xs)) / area
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        z = 1.0 / (w0 * sz[0] + w1 * sz[1] + w2 * sz[2])
+        sub_z = zbuf[y0 : y1 + 1, x0 : x1 + 1]
+        sub_img = img[y0 : y1 + 1, x0 : x1 + 1]
+        if a01 >= 1.0:
+            upd = inside & (z < sub_z)
+            sub_z[upd] = z[upd]
+            sub_img[upd] = (rgb + 0.5).astype(np.uint8)
+        else:
+            upd = inside & (z <= sub_z)
+            sub_img[upd] = (
+                a01 * rgb + (1 - a01) * sub_img[upd] + 0.5
+            ).astype(np.uint8)
+    return img
 
 
 def simplify_mesh(mesh, target_faces: int, aggressiveness: float = 7.0):

@@ -184,9 +184,13 @@ class Trainer:
         self.best_score = -np.inf
         self.ckpt_mgr = None
         self.start_epoch = 1
+        self.tb_writer = None
         if self.logdir is not None:
             self.logdir = Path(self.logdir)
             self.logdir.mkdir(parents=True, exist_ok=True)
+            from giga_tpu.utils.tensorboard import SummaryWriter
+
+            self.tb_writer = SummaryWriter(self.logdir)
             if self.use_orbax:
                 from giga_tpu.train.checkpoint import CheckpointManager
 
@@ -239,7 +243,10 @@ class Trainer:
 
             if self.logdir is not None:
                 self._log_csv(history)
+                self._log_tensorboard(epoch, train_metrics, val_metrics)
                 self._checkpoint(state, val_metrics, epoch)
+        if self.tb_writer is not None:
+            self.tb_writer.flush()
         return state, history
 
     def _score(self, val_metrics):
@@ -260,6 +267,16 @@ class Trainer:
             self.ckpt_mgr.save(
                 epoch, state, {**val_metrics, "best_score": self.best_score}
             )
+
+    def _log_tensorboard(self, epoch, train_metrics, val_metrics):
+        """TensorBoard scalar curves, same tags as the reference's
+        SummaryWriter usage (reference scripts/train_giga.py:238-245)."""
+        self.tb_writer.add_scalars(
+            {f"train/{k}": v for k, v in train_metrics.items()}, epoch
+        )
+        self.tb_writer.add_scalars(
+            {f"val/{k}": v for k, v in val_metrics.items()}, epoch
+        )
 
     def _log_csv(self, history):
         import json
