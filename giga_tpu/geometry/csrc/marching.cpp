@@ -63,7 +63,120 @@ struct MeshBuilder {
 
 }  // namespace
 
+namespace {
+
+// Triangulate the tetrahedra of one cell into mb. Corner values/positions/
+// grid-ids are the cell's 8 cube corners (bit 0 -> +x, 1 -> +y, 2 -> +z).
+// Winding is determined LOCALLY per tet: the normal must point from the
+// inside corners toward the outside corners (toward lower field values),
+// which needs no global grid probe — so it works on sparse cell lists.
+void march_cell(MeshBuilder& mb, const int64_t* corner_gid,
+                const double (*corner_pos)[3], const double* corner_val,
+                double iso) {
+    for (int t = 0; t < 6; ++t) {
+        const int* tet = TETS[t];
+        int code = 0;
+        for (int k = 0; k < 4; ++k)
+            if (corner_val[tet[k]] > iso) code |= 1 << k;
+        if (code == 0 || code == 15) continue;
+
+        int ins[4], outs[4], ni = 0, no = 0;
+        for (int k = 0; k < 4; ++k)
+            (code & (1 << k)) ? ins[ni++] = tet[k] : outs[no++] = tet[k];
+
+        auto ev = [&](int a, int b) {
+            return mb.vertex_on_edge(
+                corner_gid[a], corner_gid[b], corner_pos[a], corner_pos[b],
+                corner_val[a], corner_val[b], iso);
+        };
+
+        // outward reference direction: inside centroid -> outside centroid
+        double ref[3] = {0, 0, 0};
+        for (int k = 0; k < no; ++k)
+            for (int d = 0; d < 3; ++d) ref[d] += corner_pos[outs[k]][d] / no;
+        for (int k = 0; k < ni; ++k)
+            for (int d = 0; d < 3; ++d) ref[d] -= corner_pos[ins[k]][d] / ni;
+
+        int64_t tri3[2][3];
+        int ntri = 0;
+        if (ni == 1) {
+            tri3[0][0] = ev(ins[0], outs[0]);
+            tri3[0][1] = ev(ins[0], outs[1]);
+            tri3[0][2] = ev(ins[0], outs[2]);
+            ntri = 1;
+        } else if (ni == 3) {
+            tri3[0][0] = ev(outs[0], ins[0]);
+            tri3[0][1] = ev(outs[0], ins[2]);
+            tri3[0][2] = ev(outs[0], ins[1]);
+            ntri = 1;
+        } else {  // 2-2: quad split into two triangles
+            int64_t v00 = ev(ins[0], outs[0]);
+            int64_t v01 = ev(ins[0], outs[1]);
+            int64_t v10 = ev(ins[1], outs[0]);
+            int64_t v11 = ev(ins[1], outs[1]);
+            tri3[0][0] = v00; tri3[0][1] = v01; tri3[0][2] = v11;
+            tri3[1][0] = v00; tri3[1][1] = v11; tri3[1][2] = v10;
+            ntri = 2;
+        }
+        for (int m = 0; m < ntri; ++m) {
+            const double* a = &mb.verts[3 * tri3[m][0]];
+            const double* b = &mb.verts[3 * tri3[m][1]];
+            const double* c = &mb.verts[3 * tri3[m][2]];
+            double n0 = (b[1] - a[1]) * (c[2] - a[2]) - (b[2] - a[2]) * (c[1] - a[1]);
+            double n1 = (b[2] - a[2]) * (c[0] - a[0]) - (b[0] - a[0]) * (c[2] - a[2]);
+            double n2 = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]);
+            if (n0 * ref[0] + n1 * ref[1] + n2 * ref[2] < 0.0)
+                mb.add_tri(tri3[m][0], tri3[m][2], tri3[m][1]);
+            else
+                mb.add_tri(tri3[m][0], tri3[m][1], tri3[m][2]);
+        }
+    }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Sparse variant: triangulate ONLY the listed cells of an (nx, ny, nz) grid.
+// cell_ids are flat indices x * (ny-1)*(nz-1) + y * (nz-1) + z into the CELL
+// lattice; corner_vals is (ncells, 8) in cube-corner order. Used by the
+// device-banded mesh generator (geometry/generation.py): the accelerator
+// finds the active surface band and ships just those cells to the host.
+int marching_tetrahedra_cells(const int64_t* cell_ids, const double* corner_vals,
+                              int64_t ncells, int64_t nx, int64_t ny, int64_t nz,
+                              double iso,
+                              double** out_verts, int64_t* out_nverts,
+                              int64_t** out_tris, int64_t* out_ntris) {
+    MeshBuilder mb;
+    mb.edge_to_vertex.reserve((size_t)(ncells * 4));
+    const int64_t cy = nz - 1;
+    const int64_t cx = (ny - 1) * cy;
+
+    double corner_pos[8][3];
+    int64_t corner_gid[8];
+    for (int64_t i = 0; i < ncells; ++i) {
+        int64_t cid = cell_ids[i];
+        int64_t x = cid / cx, rem = cid % cx;
+        int64_t y = rem / cy, z = rem % cy;
+        for (int c = 0; c < 8; ++c) {
+            int64_t px = x + (c & 1), py = y + ((c >> 1) & 1), pz = z + ((c >> 2) & 1);
+            corner_gid[c] = (px * ny + py) * nz + pz;
+            corner_pos[c][0] = (double)px;
+            corner_pos[c][1] = (double)py;
+            corner_pos[c][2] = (double)pz;
+        }
+        march_cell(mb, corner_gid, corner_pos, corner_vals + 8 * i, iso);
+    }
+
+    *out_nverts = (int64_t)(mb.verts.size() / 3);
+    *out_ntris = (int64_t)(mb.tris.size() / 3);
+    *out_verts = (double*)malloc(mb.verts.size() * sizeof(double));
+    *out_tris = (int64_t*)malloc(mb.tris.size() * sizeof(int64_t));
+    if ((!*out_verts && !mb.verts.empty()) || (!*out_tris && !mb.tris.empty())) return 1;
+    for (size_t i = 0; i < mb.verts.size(); ++i) (*out_verts)[i] = mb.verts[i];
+    for (size_t i = 0; i < mb.tris.size(); ++i) (*out_tris)[i] = mb.tris[i];
+    return 0;
+}
 
 // grid: (nx, ny, nz) row-major doubles. Emits vertices in INDEX coordinates
 // (0..nx-1 etc.). Triangles wind so normals point toward LOWER values

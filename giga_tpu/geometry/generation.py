@@ -33,9 +33,14 @@ class MeshGenerator:
     def __init__(self, net, params, threshold: float = 0.5, resolution0: int = 32,
                  upsampling_steps: int = 2, points_batch_size: int = 100000,
                  padding: float = 0.0, simplify_nfaces: int | None = None,
-                 refinement_step: int = 0):
+                 refinement_step: int = 0, strategy: str = "auto"):
+        import jax
+
         self.net = net
-        self.params = params
+        # commit params to device once: msgpack-loaded params are host numpy
+        # arrays, and passing those to a jitted fn re-ships them through the
+        # (slow) host link on EVERY call
+        self.params = jax.device_put(params)
         self.threshold = float(threshold)
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
@@ -43,6 +48,15 @@ class MeshGenerator:
         self.padding = padding
         self.simplify_nfaces = simplify_nfaces
         self.refinement_step = refinement_step
+        final_res = resolution0 * (2**upsampling_steps)
+        if strategy == "auto":
+            # one-shot dense decode wins while the lattice fits comfortably
+            # on device; hierarchical refinement pays off only at very high
+            # resolutions where most cells are far from the surface
+            strategy = "dense" if final_res <= 256 else "refine"
+        assert strategy in ("dense", "refine"), strategy
+        self.strategy = strategy
+        self.band_cells = 49152  # static device->host band buffer (cells)
         self._planes = None
         # jitted once: unjitted apply would dispatch op-by-op (very slow on
         # remote accelerators); chunk padding keeps shapes reusable
@@ -56,6 +70,87 @@ class MeshGenerator:
         self._encode = jax.jit(
             lambda params, grid: self.net.apply(params, grid, method="encode")
         )
+        self._dense = jax.jit(self._build_dense_eval(final_res + 1))
+        self._band = jax.jit(self._build_band_eval(final_res + 1))
+
+    def _build_dense_eval(self, n: int):
+        """One device program: decode occupancy on the full (n, n, n) lattice.
+
+        The hierarchical path (geometry/refine.py) saves decoder FLOPs but
+        pays one host<->device round-trip per chunk per level — on a remote
+        accelerator those dispatches dominate (~0.5 s/scene warm). Here the
+        mesh lattice is a tensor product, so the planner's lattice-factorized
+        decode applies verbatim (inference/dense_decode.py: bilinear sampling
+        as two matmuls per plane, fc_c projections on the 2D lattices): one
+        dispatch, MXU-shaped work, and ONE result fetch — in fp16, since the
+        tunnel's host-fetch bandwidth (~45 MB/s) would otherwise dominate and
+        iso-surface interpolation only needs ~3 digits near the threshold.
+        """
+        from giga_tpu.inference.dense_decode import decode_dense
+        from giga_tpu.inference.planner import _lattice_features
+
+        cfg = self.net.cfg
+        box_size = 1.0 + self.padding
+        coords = jnp.linspace(-box_size / 2, box_size / 2, n, dtype=jnp.float32)
+
+        def dense(params, planes):
+            feats = _lattice_features({t: v[0] for t, v in planes.items()},
+                                      coords, cfg)
+            out = decode_dense(params["params"]["decoder_occ"], feats, coords,
+                               cfg.decoder.n_blocks)
+            return out[0, ..., 0].astype(jnp.float16)
+
+        return dense
+
+    def _build_band_eval(self, n: int):
+        """Dense decode + on-device surface-band extraction.
+
+        Fetching the full (n, n, n) logit grid costs ~4n^3 bytes over the
+        host link; the iso-surface only needs the ~1% of cells whose corners
+        straddle the threshold. This program pads the lattice (so the surface
+        closes at the boundary), finds active cells, and compacts their flat
+        ids + 8 corner values into fixed-size buffers — ~10x fewer bytes per
+        scene. Returns (cell_ids i32, corner_vals f16 (K, 8), count); if
+        count > K the host falls back to the full-grid fetch.
+        """
+        logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
+        dense = self._build_dense_eval(n)
+        K = self.band_cells
+        C = n + 1  # cells per axis of the padded (n+2)^3 lattice
+
+        def band(params, planes):
+            logits = dense(params, planes).astype(jnp.float32)
+            g = jnp.pad(logits, 1, constant_values=-6.0e4)  # fp16-safe "outside"
+            inside = g > logit_th
+
+            def cells(a):
+                s = None
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            v = a[dx : C + dx, dy : C + dy, dz : C + dz]
+                            s = v if s is None else s + v
+                return s
+
+            n_in = cells(inside.astype(jnp.int32))
+            active = (n_in > 0) & (n_in < 8)
+            flat = active.reshape(-1)
+            count = flat.sum(dtype=jnp.int32)
+            (idx,) = jnp.nonzero(flat, size=K, fill_value=0)
+            x = idx // (C * C)
+            rem = idx % (C * C)
+            y = rem // C
+            z = rem % C
+            vals = jnp.stack(
+                [
+                    g[x + (ci & 1), y + ((ci >> 1) & 1), z + ((ci >> 2) & 1)]
+                    for ci in range(8)
+                ],
+                axis=-1,
+            )
+            return idx.astype(jnp.int32), vals.astype(jnp.float16), count
+
+        return band
 
     def encode(self, tsdf_grid: np.ndarray):
         """(R, R, R) or (1, R, R, R) TSDF -> cached feature planes."""
@@ -99,22 +194,63 @@ class MeshGenerator:
         logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
         box_size = 1.0 + self.padding
 
-        t0 = time.time()
+        if self.strategy == "dense":
+            from giga_tpu.geometry.native import get_lib
 
-        def eval_fn(frac_points):
-            # fractions in [0, 1] -> box coords in [-box/2, box/2]
-            p = box_size * (frac_points.astype(np.float32) - 0.5)
-            return self.eval_occ_logits(p)
+            t0 = time.time()
+            if get_lib() is not None:
+                import jax
 
-        value_grid = refine_grid(
-            eval_fn, self.resolution0, self.upsampling_steps, logit_th
-        )
-        stats["time (eval points)"] = time.time() - t0
+                idx, vals, count = jax.device_get(
+                    self._band(self.params, self._planes)
+                )
+                count = int(count)
+            else:
+                count = self.band_cells + 1  # no native kernel: full-grid path
+            if count <= self.band_cells:
+                stats["time (eval points)"] = time.time() - t0
+                mesh = self._mesh_from_band(idx[:count], vals[:count], logit_th,
+                                            box_size, stats)
+            else:  # band overflow: exact fallback through the full grid
+                value_grid = np.asarray(
+                    self._dense(self.params, self._planes), np.float64
+                )
+                stats["time (eval points)"] = time.time() - t0
+                mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
+        else:
+            t0 = time.time()
 
-        mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
+            def eval_fn(frac_points):
+                # fractions in [0, 1] -> box coords in [-box/2, box/2]
+                p = box_size * (frac_points.astype(np.float32) - 0.5)
+                return self.eval_occ_logits(p)
+
+            value_grid = refine_grid(
+                eval_fn, self.resolution0, self.upsampling_steps, logit_th
+            )
+            stats["time (eval points)"] = time.time() - t0
+            mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
+
         if return_stats:
             return mesh, stats
         return mesh
+
+    def _mesh_from_band(self, cell_ids, corner_vals, logit_th: float,
+                        box_size: float, stats: dict) -> TriMesh:
+        """Triangulate the device-extracted surface band (padded-lattice cell
+        ids + fp16 corner values) with the sparse marching kernel."""
+        from giga_tpu.geometry.native import marching_tetrahedra_cells
+
+        t0 = time.time()
+        n = self.resolution0 * (2**self.upsampling_steps) + 1
+        verts, faces = marching_tetrahedra_cells(
+            cell_ids.astype(np.int64), corner_vals.astype(np.float64),
+            (n + 2, n + 2, n + 2), logit_th,
+        )
+        stats["time (marching cubes)"] = time.time() - t0
+        verts = (verts - 1.0) / (n - 1)  # undo padding, [0, 1]
+        verts = box_size * (verts - 0.5)
+        return self._postprocess(TriMesh(verts, faces), stats)
 
     def extract_mesh(self, value_grid: np.ndarray, logit_th: float, box_size: float,
                      stats: dict) -> TriMesh:
@@ -127,8 +263,9 @@ class MeshGenerator:
         n = value_grid.shape[0]
         verts = verts / (n - 1)  # [0, 1]
         verts = box_size * (verts - 0.5)
-        mesh = TriMesh(verts, faces)
+        return self._postprocess(TriMesh(verts, faces), stats)
 
+    def _postprocess(self, mesh: TriMesh, stats: dict) -> TriMesh:
         if self.simplify_nfaces is not None and len(mesh.faces) > self.simplify_nfaces:
             from giga_tpu.geometry.native import simplify_mesh
 

@@ -68,6 +68,17 @@ def get_lib():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.marching_tetrahedra_cells.restype = ctypes.c_int
+        lib.marching_tetrahedra_cells.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.free_mesh_buffers.restype = None
         lib.free_mesh_buffers.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
@@ -258,6 +269,45 @@ def _raster_numpy(verts_cam, faces, face_colors, fx, fy, cx, cy,
                 a01 * rgb + (1 - a01) * sub_img[upd] + 0.5
             ).astype(np.uint8)
     return img
+
+
+def marching_tetrahedra_cells(cell_ids: np.ndarray, corner_vals: np.ndarray,
+                              shape, iso: float):
+    """Sparse isosurface: triangulate only the listed cells -> (verts, faces).
+
+    ``cell_ids`` are flat indices into the (nx-1, ny-1, nz-1) cell lattice of
+    a conceptual (nx, ny, nz) = ``shape`` grid; ``corner_vals`` is
+    (ncells, 8) in cube-corner order (bit 0 -> +x, 1 -> +y, 2 -> +z).
+    Vertices are in grid index coordinates, wound outward (toward lower
+    values), with winding determined locally per tetrahedron.
+    """
+    cell_ids = np.ascontiguousarray(cell_ids, dtype=np.int64).reshape(-1)
+    corner_vals = np.ascontiguousarray(corner_vals, dtype=np.float64).reshape(-1, 8)
+    assert len(cell_ids) == len(corner_vals)
+    nx, ny, nz = shape
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native geometry kernel unavailable (g++ build failed)")
+    verts_p = ctypes.POINTER(ctypes.c_double)()
+    tris_p = ctypes.POINTER(ctypes.c_int64)()
+    nverts = ctypes.c_int64()
+    ntris = ctypes.c_int64()
+    rc = lib.marching_tetrahedra_cells(
+        cell_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        corner_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(cell_ids), nx, ny, nz, float(iso),
+        ctypes.byref(verts_p), ctypes.byref(nverts),
+        ctypes.byref(tris_p), ctypes.byref(ntris),
+    )
+    if rc != 0:
+        raise MemoryError("marching_tetrahedra_cells allocation failed")
+    try:
+        nv, nt = nverts.value, ntris.value
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv * 3,)).copy().reshape(nv, 3) if nv else np.zeros((0, 3))
+        tris = np.ctypeslib.as_array(tris_p, shape=(nt * 3,)).copy().reshape(nt, 3) if nt else np.zeros((0, 3), np.int64)
+    finally:
+        lib.free_mesh_buffers(verts_p, tris_p)
+    return verts, tris
 
 
 def simplify_mesh(mesh, target_faces: int, aggressiveness: float = 7.0):

@@ -1,0 +1,128 @@
+"""Device-banded mesh generation: sparse marching kernel parity with the
+dense kernel, dense-vs-refine strategy agreement, and band-overflow fallback
+(geometry/generation.py one-dispatch path)."""
+
+import numpy as np
+import pytest
+
+from giga_tpu.geometry import native
+from giga_tpu.geometry.generation import MeshGenerator
+
+
+def _sphere_grid(n=33, r=12.0):
+    lin = np.arange(n, dtype=np.float64)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    c = (n - 1) / 2.0
+    return r - np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2)
+
+
+def _active_cells(grid, iso):
+    n = grid.shape[0]
+    ins = grid > iso
+    any_in = np.zeros((n - 1,) * 3, bool)
+    all_in = np.ones((n - 1,) * 3, bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                s = ins[dx : n - 1 + dx, dy : n - 1 + dy, dz : n - 1 + dz]
+                any_in |= s
+                all_in &= s
+    idx = np.flatnonzero(any_in & ~all_in)
+    xs, ys, zs = np.unravel_index(idx, (n - 1,) * 3)
+    corner = np.empty((len(idx), 8))
+    for ci in range(8):
+        dx, dy, dz = ci & 1, (ci >> 1) & 1, (ci >> 2) & 1
+        corner[:, ci] = grid[xs + dx, ys + dy, zs + dz]
+    return idx, corner
+
+
+class TestSparseMarching:
+    def test_matches_dense_kernel_exactly(self):
+        grid = _sphere_grid()
+        v1, f1 = native.marching_tetrahedra(grid, 0.0)
+        idx, corner = _active_cells(grid, 0.0)
+        v2, f2 = native.marching_tetrahedra_cells(idx, corner, grid.shape, 0.0)
+        assert len(v1) == len(v2) and len(f1) == len(f2)
+        s1 = set(map(tuple, np.round(v1, 9)))
+        s2 = set(map(tuple, np.round(v2, 9)))
+        assert s1 == s2
+
+    def test_local_winding_outward(self):
+        grid = _sphere_grid()
+        idx, corner = _active_cells(grid, 0.0)
+        v, f = native.marching_tetrahedra_cells(idx, corner, grid.shape, 0.0)
+        tri = v[f]
+        nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        out = nrm * (tri.mean(1) - 16.0)
+        # sliver triangles can flip the centroid test; the bulk must be outward
+        assert (out.sum(1) > 0).mean() > 0.95
+
+    def test_empty_cell_list(self):
+        v, f = native.marching_tetrahedra_cells(
+            np.zeros(0, np.int64), np.zeros((0, 8)), (8, 8, 8), 0.0
+        )
+        assert len(v) == 0 and len(f) == 0
+
+
+@pytest.fixture(scope="module")
+def geo_model():
+    import jax
+
+    from giga_tpu.models.registry import get_network
+
+    net, cfg = get_network("giga_geo")
+    import jax.numpy as jnp
+
+    tsdf = jnp.zeros((1, 40, 40, 40), jnp.float32)
+    p = jnp.zeros((1, 1, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), tsdf, None, p)
+    return net, params
+
+
+@pytest.fixture(scope="module")
+def scene_tsdf():
+    from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+
+    return mesh_to_tsdf(random_scene(np.random.RandomState(0), 0.3), 0.3, 40)
+
+
+class TestStrategies:
+    def test_dense_matches_refine(self, geo_model, scene_tsdf):
+        """The one-dispatch banded path and the hierarchical host path must
+        produce the same surface (same lattice values near the surface)."""
+        net, params = geo_model
+        gen_d = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                              strategy="dense")
+        gen_r = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                              strategy="refine")
+        m_d = gen_d.generate_mesh(scene_tsdf, return_stats=False)
+        m_r = gen_r.generate_mesh(scene_tsdf, return_stats=False)
+        assert len(m_d.vertices) > 0
+        # identical triangle counts and vertex sets up to fp16 interpolation
+        assert abs(len(m_d.faces) - len(m_r.faces)) <= 0.01 * len(m_r.faces)
+        from scipy.spatial import cKDTree
+
+        cell = 1.0 / 32  # res0=16, 1 upsampling step, box [-0.5, 0.5]
+        d, _ = cKDTree(m_r.vertices).query(m_d.vertices)
+        # refine interpolates values away from the band, so isolated vertices
+        # may shift; the surface as a whole must coincide
+        assert np.quantile(d, 0.99) < 0.05 * cell
+        assert d.max() < 1.5 * cell
+
+    def test_band_overflow_falls_back(self, geo_model, scene_tsdf):
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                            strategy="dense")
+        ref = gen.generate_mesh(scene_tsdf, return_stats=False)
+        gen2 = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                             strategy="dense")
+        gen2.band_cells = 4  # force overflow -> full-grid fetch path
+        import jax
+
+        gen2._band = jax.jit(gen2._build_band_eval(17))
+        m = gen2.generate_mesh(scene_tsdf, return_stats=False)
+        assert len(m.faces) == len(ref.faces)
+        # same geometry through either route
+        v1 = set(map(tuple, np.round(ref.vertices, 5)))
+        v2 = set(map(tuple, np.round(m.vertices, 5)))
+        assert v1 == v2
