@@ -1,0 +1,39 @@
+"""Model-quality regression gate: the shipped GIGA checkpoint must keep a
+minimum synthetic grasp-success rate.
+
+The reference validates model quality only through the full pybullet
+GSR/DR benchmark (reference scripts/sim_grasp_multiple.py); this gate is the
+simulator-free equivalent — plan on seeded synthetic scenes, score the top
+grasps with the geometric oracle (giga_tpu/utils/synthetic_grasps.py) — so a
+training/inference regression that degrades grasp decisions fails CI rather
+than only showing up in benchmark runs.
+
+Fully seeded: planner rng, scene rng, and oracle rng are pinned, so the GSR
+is reproducible; the floor leaves a ~2-grasp margin under the measured value
+(46.7% over 6 scenes x top-5 for the current checkpoint).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+CHECKPOINT = ROOT / "checkpoints" / "synthetic_giga_best.msgpack"
+
+GSR_FLOOR = 40.0  # percent; measured 46.7 on the shipped checkpoint
+MIN_CANDIDATES = 5.0  # mean grasps proposed per scene (measured ~9.2)
+MAX_MEDIAN_SURFACE_MM = 60.0  # grasps must target surfaces (measured ~40)
+
+
+@pytest.mark.skipif(not CHECKPOINT.exists(), reason="shipped checkpoint missing")
+def test_shipped_checkpoint_synthetic_gsr():
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from eval_synthetic_gsr import evaluate_checkpoint
+
+    out = evaluate_checkpoint(str(CHECKPOINT), n_scenes=6, top_k=5, seed=1000)
+    assert out["mean_candidates"] >= MIN_CANDIDATES, out
+    assert out["median_surface_dist_mm"] <= MAX_MEDIAN_SURFACE_MM, out
+    assert out["gsr"] >= GSR_FLOOR, (
+        f"synthetic GSR regressed: {out['gsr']:.1f}% < floor {GSR_FLOOR}% ({out})"
+    )
