@@ -74,6 +74,91 @@ def render_affordance_image(qual_vol, rot_vol, scene_mesh: TriMesh,
     return render_mesh_image(composed, extrinsic, intrinsic, size=size)
 
 
+class SoftwareRenderer:
+    """Drop-in stand-in for NViSIIRenderer (utils/nvisii_render.py) that
+    rasterizes mesh-pose snapshot pickles with the native z-buffer kernel —
+    rollout videos render anywhere, no GPU ray tracer required.
+
+    Snapshot format (giga_tpu/utils/saver.py): {name: (mesh_path, scale,
+    Transform)}.
+    """
+
+    def __init__(self, width: int = 640, height: int = 480,
+                 camera_position=(0.6, 0.0, 0.6), look_at=(0.15, 0.15, 0.05),
+                 fov: float = 0.85, background=(255, 255, 255)):
+        # vertical field of view in radians, like nvisii's create_from_fov
+        fy = (height / 2.0) / np.tan(fov / 2.0)
+        self.intrinsic = CameraIntrinsic(width, height, fy, fy,
+                                         width / 2.0, height / 2.0)
+        self.extrinsic = Transform.look_at(
+            np.asarray(camera_position, float), np.asarray(look_at, float),
+            np.array([0.0, 0.0, 1.0]),
+        )
+        self.background = background
+        self._mesh_cache: dict = {}
+        self._scene: dict = {}
+
+    def update(self, mesh_pose_dict: dict) -> None:
+        """Sync to a {name: (mesh_path, scale, Transform)} snapshot."""
+        self._scene = dict(mesh_pose_dict)
+
+    def _load(self, mesh_path, scale):
+        from giga_tpu.geometry.mesh import load_mesh
+
+        key = (str(mesh_path), tuple(np.atleast_1d(scale).tolist()))
+        if key not in self._mesh_cache:
+            mesh = load_mesh(mesh_path)
+            s = np.atleast_1d(np.asarray(scale, float))
+            if s.size == 1:
+                s = np.repeat(s, 3)
+            mesh = TriMesh(mesh.vertices * s[:3], mesh.faces)
+            self._mesh_cache[key] = mesh
+        return self._mesh_cache[key]
+
+    def render(self, out_path=None) -> np.ndarray:
+        from giga_tpu.geometry.mesh import concatenate
+
+        parts, colors = [], []
+        palette = np.array(
+            [[204, 112, 96], [110, 155, 205], [125, 185, 130],
+             [200, 170, 90], [160, 125, 190], [120, 180, 180]], np.uint8
+        )
+        for i, (name, (mesh_path, scale, pose)) in enumerate(sorted(self._scene.items())):
+            m = self._load(mesh_path, scale).copy()
+            m.apply_transform(pose.as_matrix())
+            parts.append(m)
+            rgba = np.empty((len(m.faces), 4), np.uint8)
+            rgba[:, :3] = palette[i % len(palette)]
+            rgba[:, 3] = 255
+            colors.append(rgba)
+        if not parts:
+            img = np.empty((self.intrinsic.height, self.intrinsic.width, 3), np.uint8)
+            img[:] = np.asarray(self.background, np.uint8)
+        else:
+            scene = concatenate(parts)
+            scene.face_colors = np.concatenate(colors)
+            img = render_mesh_image(scene, self.extrinsic, self.intrinsic,
+                                    background=self.background)
+        if out_path is not None:
+            save_image(img, out_path)
+        return img
+
+    def render_rollout(self, snapshot_dir, out_dir) -> None:
+        import pickle
+        from pathlib import Path
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for pkl in sorted(Path(snapshot_dir).glob("*.pkl")):
+            with open(pkl, "rb") as f:
+                snapshot = pickle.load(f)
+            self.update(snapshot)
+            self.render(out_dir / (pkl.stem + ".png"))
+
+    def close(self):
+        self._mesh_cache.clear()
+
+
 def save_image(img: np.ndarray, path) -> None:
     """Write an (H, W, 3) uint8 array as PNG (PIL when present, else a
     minimal self-contained PNG encoder)."""

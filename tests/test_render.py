@@ -156,6 +156,36 @@ class TestScenePath:
         img = np.asarray(PIL.open(mesh_dir / "round_000_trial_000_aff.png"))
         assert np.any(np.any(img[..., :3] != 255, axis=-1))
 
+    def test_software_rollout_renderer(self, tmp_path):
+        """render_rollouts fallback: snapshot pickles -> PNG frames."""
+        import pickle
+
+        from giga_tpu.core.transform import Rotation, Transform
+        from giga_tpu.utils.render import SoftwareRenderer
+
+        obj = tmp_path / "box.obj"
+        box_mesh([0.06, 0.06, 0.06]).export(obj)
+        rollout = tmp_path / "round_000"
+        rollout.mkdir()
+        for i, x in enumerate((0.10, 0.20)):
+            snap = {
+                "2_-1": (str(obj), [1.0, 1.0, 1.0],
+                         Transform(Rotation.identity(), [x, 0.15, 0.03])),
+            }
+            with open(rollout / f"{i:04d}.pkl", "wb") as f:
+                pickle.dump(snap, f)
+
+        r = SoftwareRenderer(width=96, height=64)
+        r.render_rollout(rollout, tmp_path / "frames")
+        r.close()
+        frames = sorted((tmp_path / "frames").glob("*.png"))
+        assert len(frames) == 2
+        PIL = pytest.importorskip("PIL.Image")
+        img0 = np.asarray(PIL.open(frames[0]))
+        img1 = np.asarray(PIL.open(frames[1]))
+        assert np.any(np.any(img0[..., :3] != 255, axis=-1))
+        assert not np.array_equal(img0, img1)  # the box moved
+
     def test_default_camera_looks_at_workspace(self):
         ext = default_camera(0.3)
         center_cam = ext.transform_point(np.r_[0.15, 0.15, 0.075])
