@@ -131,12 +131,19 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
 
 
 def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig,
-                                  size: float, dtype=None, use_pallas: bool = False):
+                                  size: float, dtype=None, use_pallas: bool = False,
+                                  mesh=None, axis: str = "dp"):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
     single-scene program, so XLA sees the batched matmuls directly and
     compiles a single fused pipeline.
+
+    With ``mesh``, the batch axis is sharded over the device mesh (params
+    replicated): each chip plans its shard of scenes independently — the
+    whole pipeline is a pure map over scenes, so GSPMD partitions it with no
+    collectives until the (small) result gather. B must divide by the mesh
+    size.
     """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
@@ -191,7 +198,14 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
             )
             return cands, raw
 
-    return jax.jit(plan)
+    if mesh is None:
+        return jax.jit(plan)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis))
+    return jax.jit(plan, in_shardings=(repl, batched, batched),
+                   out_shardings=repl)
 
 
 def build_sharded_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig,

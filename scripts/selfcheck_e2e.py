@@ -66,7 +66,12 @@ def main(args):
     grasp_data = build_grasp_labels(scenes, size, args.n_grasps, args.seed) if full_giga else None
 
     net, cfg = get_network("giga" if full_giga else "giga_geo")
-    state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed))
+    lr = args.lr
+    if args.cosine_lr:
+        import optax
+
+        lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed), lr=lr)
     step = make_train_step(net, cfg)
 
     rng = np.random.RandomState(args.seed)
@@ -183,6 +188,9 @@ if __name__ == "__main__":
     parser.add_argument("--planner-qual-th", type=float, default=0.8)
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--cosine-lr", action="store_true",
+                        help="cosine-decay the learning rate over --steps")
     parser.add_argument("--save-params", type=str, default="",
                         help="save trained params (msgpack) to this path")
     sys.exit(main(parser.parse_args()))

@@ -1,5 +1,5 @@
-"""Spatially-sharded planner equals the single-device planner on an 8-device
-CPU mesh."""
+"""Sharded planners (spatial and data-parallel batch) equal the
+single-device programs on an 8-device CPU mesh."""
 
 import numpy as np
 
@@ -7,7 +7,11 @@ import jax
 import jax.numpy as jnp
 
 from giga_tpu.core.config import PlannerConfig
-from giga_tpu.inference.planner import build_giga_planner_fn, build_sharded_giga_planner_fn
+from giga_tpu.inference.planner import (
+    build_batched_giga_planner_fn,
+    build_giga_planner_fn,
+    build_sharded_giga_planner_fn,
+)
 from giga_tpu.models.registry import get_network
 from giga_tpu.parallel.mesh import make_mesh
 
@@ -35,3 +39,35 @@ def test_sp_sharded_planner_matches_single_device():
     n = int(c1.count)
     np.testing.assert_allclose(c1.scores[:n], c2.scores[:n], atol=1e-5)
     np.testing.assert_array_equal(c1.positions[:n], c2.positions[:n])
+
+
+def test_dp_batch_sharded_serving_matches_unsharded():
+    """Batch-axis sharding of the natively batched planner: every scene's
+    grasp list equals the unsharded batched program."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, axis="dp")
+    net, cfg = get_network("giga")
+    tsdf0 = jnp.zeros((1, 40, 40, 40))
+    p0 = jnp.zeros((1, 1, 3))
+    params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
+    pcfg = PlannerConfig(force_detection=True)
+
+    rng = np.random.RandomState(1)
+    B = 8
+    grids = jnp.asarray(rng.rand(B, 40, 40, 40).astype(np.float32))
+
+    bplan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3)
+    splan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3, mesh=mesh)
+
+    c1, _ = jax.device_get(bplan(params, grids, grids))
+    c2, _ = jax.device_get(splan(params, grids, grids))
+
+    np.testing.assert_array_equal(np.asarray(c1.count), np.asarray(c2.count))
+    for b in range(B):
+        n = int(np.asarray(c1.count)[b])
+        np.testing.assert_allclose(
+            np.asarray(c1.scores)[b, :n], np.asarray(c2.scores)[b, :n], atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c1.positions)[b, :n], np.asarray(c2.positions)[b, :n]
+        )
