@@ -183,9 +183,9 @@ def main():
     # training-step throughput (batch 32, 2048 occ points — reference defaults)
     from giga_tpu.train.trainer import create_train_state, make_train_step
 
-    def run_train():
+    def run_train(dtype=None, label="fp32"):
         state = create_train_state(net, cfg, jax.random.PRNGKey(0))
-        step = make_train_step(net, cfg)
+        step = make_train_step(net, cfg, dtype=dtype)
         Bt, Nt = 32, 2048
 
         def mk_batch(seed):
@@ -218,10 +218,13 @@ def main():
         hi = min(run_n(9) for _ in range(3))
         dstep = (hi - lo) / 8
         sps = Bt / dstep
-        log(f"train step (B={Bt}): {dstep * 1e3:.2f} ms -> {sps:.0f} samples/s")
+        log(f"train step (B={Bt}, {label}): {dstep * 1e3:.2f} ms -> {sps:.0f} samples/s")
         return sps
 
     train_sps = guarded("train", run_train)
+    train_bf16_sps = guarded(
+        "train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")
+    )
 
     result = {
         "metric": "giga_planner_scenes_per_sec",
@@ -233,6 +236,7 @@ def main():
         "batched_scenes_per_sec": round(batched_sps, 2),
         "batched_bf16_scenes_per_sec": round(batched_bf16_sps, 2),
         "train_samples_per_sec": round(train_sps, 2),
+        "train_bf16_samples_per_sec": round(train_bf16_sps, 2),
         "vgn_scene_ms": round(vgn_dt * 1e3, 3),
         "giga_aff_scene_ms": round(aff_dt * 1e3, 3),
         "giga_geo_100k_queries_ms": round(geo_dt * 1e3, 3),

@@ -108,17 +108,46 @@ def _step_metrics(cfg, out, batch) -> dict:
     return classification_metrics(out["qual"], batch["label"])
 
 
-def make_train_step(net, cfg, mesh=None, axis: str = "dp"):
-    """Jitted SGD step. With a mesh, batch sharded / state replicated."""
+def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None):
+    """Jitted SGD step. With a mesh, batch sharded / state replicated.
+
+    ``dtype=jnp.bfloat16`` selects mixed precision: master params, optimizer
+    state, and the gradient update stay fp32; the forward/backward pass runs
+    with bf16-cast params and inputs (the MXU's native precision). Losses are
+    reduced in fp32. Default (None) pins fp32-highest matmuls for parity with
+    the torch reference's training numerics.
+    """
     loss_fn = make_loss_fn(net, cfg)
 
     def step(state: TrainState, batch):
-        # fp32 matmul passes for parity with the torch reference's training
-        with jax.default_matmul_precision("highest"):
-            (loss, (terms, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch
-            )
-            state = state.apply_gradients(grads=grads)
+        if dtype is None:
+            # fp32 matmul passes for parity with the torch reference
+            with jax.default_matmul_precision("highest"):
+                (loss, (terms, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, batch)
+        else:
+
+            def cast_loss(params, batch):
+                p = jax.tree.map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    params,
+                )
+                b = {
+                    k: v.astype(dtype)
+                    if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v
+                    for k, v in batch.items()
+                }
+                loss, aux = loss_fn(p, b)
+                return loss.astype(jnp.float32), aux
+
+            # grads of the cast are accumulated back into fp32 leaves
+            (loss, (terms, out)), grads = jax.value_and_grad(
+                cast_loss, has_aux=True
+            )(state.params, batch)
+            terms = jax.tree.map(lambda t: t.astype(jnp.float32), terms)
+        state = state.apply_gradients(grads=grads)
         terms = {**terms, **_step_metrics(cfg, out, batch)}
         return state, terms
 

@@ -144,6 +144,40 @@ class TestTrainStep:
             losses.append(float(terms["loss_all"]))
         assert losses[-1] < losses[0]
 
+    def test_bf16_mixed_precision_step(self):
+        """dtype=bf16 step: fp32 master params, bf16 compute; loss still
+        decreases and the first-step gradients track the fp32 step."""
+        net, cfg = get_network("giga")
+        rng = np.random.RandomState(0)
+        B, N = 4, 16
+        batch = {
+            "tsdf": jnp.asarray(rng.rand(B, 40, 40, 40), jnp.float32),
+            "pos": jnp.asarray(rng.uniform(-0.4, 0.4, (B, 3)), jnp.float32),
+            "label": jnp.asarray(rng.randint(0, 2, B), jnp.float32),
+            "rotations": jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+            "width": jnp.asarray(rng.rand(B), jnp.float32),
+            "pos_occ": jnp.asarray(rng.uniform(-0.4, 0.4, (B, N, 3)), jnp.float32),
+            "occ": jnp.asarray(rng.randint(0, 2, (B, N)), jnp.float32),
+        }
+        state16 = create_train_state(net, cfg, jax.random.PRNGKey(0))
+        state32 = create_train_state(net, cfg, jax.random.PRNGKey(0))
+        step16 = make_train_step(net, cfg, dtype=jnp.bfloat16)
+        step32 = make_train_step(net, cfg)
+
+        s32, t32 = step32(state32, batch)
+        s16, t16 = step16(state16, batch)
+        # same objective to bf16 resolution
+        assert abs(float(t16["loss_all"]) - float(t32["loss_all"])) < 3e-2
+        # master params stay fp32
+        leaves = jax.tree.leaves(s16.params)
+        assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+
+        losses = []
+        for _ in range(3):
+            s16, t = step16(s16, batch)
+            losses.append(float(t["loss_all"]))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
     def test_mesh_train_step_8_devices(self):
         from giga_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
