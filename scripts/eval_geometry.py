@@ -51,14 +51,28 @@ def main(args):
                       "iou_ROI_infer", "precision_ROI_infer", "recall_ROI_infer"]
     mean_dict = {k: [] for k in mean_keys}
 
-    for idx in tqdm.tqdm(range(len(dataset)), dynamic_ncols=True):
-        if args.roi:
-            tsdf, points_occ, occ, roi_points, occ_roi, gt_mesh = dataset[idx]
-        else:
-            tsdf, points_occ, occ, gt_mesh = dataset[idx]
-        gt_mesh.vertices = gt_mesh.vertices / dataset.size - 0.5
+    def batched_meshes():
+        """Yield (idx, dataset item, predicted mesh), reconstructing
+        --batch scenes per device dispatch (MeshGenerator.generate_meshes)."""
+        bs = max(1, args.batch)
+        for start in range(0, len(dataset), bs):
+            idxs = range(start, min(start + bs, len(dataset)))
+            items = [dataset[i] for i in idxs]
+            if bs == 1:
+                preds = [generator.generate_mesh(items[0][0], return_stats=False)]
+            else:
+                tsdfs = np.stack([np.squeeze(np.asarray(it[0], np.float32))
+                                  for it in items])
+                preds = generator.generate_meshes(tsdfs)
+            yield from zip(idxs, items, preds)
 
-        pred_mesh, _ = generator.generate_mesh(tsdf)
+    for idx, item, pred_mesh in tqdm.tqdm(batched_meshes(), total=len(dataset),
+                                          dynamic_ncols=True):
+        if args.roi:
+            tsdf, points_occ, occ, roi_points, occ_roi, gt_mesh = item
+        else:
+            tsdf, points_occ, occ, gt_mesh = item
+        gt_mesh.vertices = gt_mesh.vertices / dataset.size - 0.5
         pts_tgt, fi, normals_tgt = gt_mesh.sample_surface(
             evaluator.n_points, rng=rng, return_normals=True
         )
@@ -67,6 +81,8 @@ def main(args):
         )
         if args.roi and "empty" not in out:
             out.update(evaluator.eval_occ(pred_mesh, roi_points, occ_roi, ext="_ROI"))
+            if args.batch > 1:  # batched path does not cache per-scene planes
+                generator.encode(tsdf)
             logits = generator.eval_occ_logits(roi_points.astype(np.float32))
             occ_pred = 1.0 / (1.0 + np.exp(-logits)) > args.th
             out["iou_ROI_infer"] = float(compute_iou(occ_pred, occ_roi))
@@ -112,6 +128,8 @@ if __name__ == "__main__":
     parser.add_argument("--resolution0", type=int, default=32)
     parser.add_argument("--upsampling-steps", type=int, default=2)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="scenes reconstructed per device dispatch")
     args = parser.parse_args()
     set_random_seed(args.seed)
     main(args)

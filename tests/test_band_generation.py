@@ -109,6 +109,28 @@ class TestStrategies:
         assert np.quantile(d, 0.99) < 0.05 * cell
         assert d.max() < 1.5 * cell
 
+    def test_batched_matches_per_scene(self, geo_model, scene_tsdf):
+        """generate_meshes (one dispatch for B scenes) == generate_mesh per
+        scene, vertex for vertex."""
+        from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                            strategy="dense")
+        other = mesh_to_tsdf(random_scene(np.random.RandomState(3), 0.3), 0.3, 40)
+        batch = np.stack([np.squeeze(scene_tsdf), np.squeeze(other)])
+        meshes = gen.generate_meshes(batch)
+        assert len(meshes) == 2
+        for b in range(2):
+            ref = gen.generate_mesh(batch[b], return_stats=False)
+            assert len(meshes[b].faces) == len(ref.faces)
+            # batched vs single decode differ by einsum order; fp16 corner
+            # rounding bounds the vertex shift well under a cell (1/32)
+            np.testing.assert_allclose(
+                np.sort(meshes[b].vertices, axis=0),
+                np.sort(ref.vertices, axis=0), atol=5e-3,
+            )
+
     def test_band_overflow_falls_back(self, geo_model, scene_tsdf):
         net, params = geo_model
         gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
