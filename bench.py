@@ -114,9 +114,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"{label} cost analysis failed: {type(e).__name__}: {e}")
 
-    def run_batched(dtype, label):
+    def run_batched(dtype, label, use_pallas=False):
         bplan = build_batched_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
-                                              dtype=dtype)
+                                              dtype=dtype, use_pallas=use_pallas)
         cands, _ = bplan(params, batches[0], batches[0])
         np.asarray(cands.scores)
         d = true_latency(bplan, [(params, b, b) for b in batches], n_hi=9)
@@ -129,6 +129,10 @@ def main():
     batched_sps = guarded("batched fp32", lambda: run_batched(None, "fp32"))
     batched_bf16_sps = guarded(
         "batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")
+    )
+    batched_bf16_pallas_sps = guarded(
+        "batched bf16+pallas",
+        lambda: run_batched(jnp.bfloat16, "bf16+pallas", use_pallas=True),
     )
 
     # VGN dense 3D-CNN planner on a single 40^3 TSDF
@@ -221,6 +225,39 @@ def main():
         log(f"train step (B={Bt}, {label}): {dstep * 1e3:.2f} ms -> {sps:.0f} samples/s")
         return sps
 
+    # warm mesh generation (reconstruction path; device-banded, 128^3)
+    def run_meshgen():
+        from giga_tpu.geometry.generation import MeshGenerator
+        from giga_tpu.models.registry import get_network as gn, load_params
+        from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+
+        geo_net, _ = gn("giga_geo")
+        geo_params = load_params("checkpoints/synthetic_giga_geo.msgpack")
+        gen = MeshGenerator(geo_net, geo_params, resolution0=32, upsampling_steps=2)
+        r = np.random.RandomState(0)
+        tsdf = mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40)
+        gen.generate_mesh(tsdf, return_stats=False)  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            gen.generate_mesh(tsdf, return_stats=False)
+            ts.append(time.perf_counter() - t0)
+        single = float(np.median(ts))
+        B = 8
+        batch = np.stack([
+            np.squeeze(mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40)) for _ in range(B)
+        ])
+        gen.generate_meshes(batch)  # compile
+        t0 = time.perf_counter()
+        meshes = gen.generate_meshes(batch)
+        batched = (time.perf_counter() - t0) / B
+        assert all(len(m.faces) for m in meshes)
+        log(f"mesh generation 128^3: {single * 1e3:.0f} ms/scene warm,"
+            f" batched B={B}: {batched * 1e3:.0f} ms/scene")
+        return single, batched
+
+    meshgen = guarded("meshgen", run_meshgen, default=(float("nan"),) * 2)
+
     train_sps = guarded("train", run_train)
     train_bf16_sps = guarded(
         "train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")
@@ -235,11 +272,14 @@ def main():
         "single_scene_bf16_ms": round(bf16_dt * 1e3, 3),
         "batched_scenes_per_sec": round(batched_sps, 2),
         "batched_bf16_scenes_per_sec": round(batched_bf16_sps, 2),
+        "batched_bf16_pallas_scenes_per_sec": round(batched_bf16_pallas_sps, 2),
         "train_samples_per_sec": round(train_sps, 2),
         "train_bf16_samples_per_sec": round(train_bf16_sps, 2),
         "vgn_scene_ms": round(vgn_dt * 1e3, 3),
         "giga_aff_scene_ms": round(aff_dt * 1e3, 3),
         "giga_geo_100k_queries_ms": round(geo_dt * 1e3, 3),
+        "mesh_gen_ms_per_scene": round(meshgen[0] * 1e3, 1),
+        "mesh_gen_batched_ms_per_scene": round(meshgen[1] * 1e3, 1),
         "dispatch_floor_ms": round(floor * 1e3, 3),
         "timing": "marginal slope with host-fetch barrier (block_until_ready does not sync on this backend)",
     }

@@ -206,9 +206,12 @@ class Trainer:
     mesh: object = None
     logdir: Optional[Path] = None
     use_orbax: bool = False
+    dtype: object = None  # jnp.bfloat16 -> mixed-precision train step
 
     def __post_init__(self):
-        self.train_step = make_train_step(self.net, self.model_cfg, self.mesh)
+        # eval stays fp32 so validation metrics are comparable across runs
+        self.train_step = make_train_step(self.net, self.model_cfg, self.mesh,
+                                          dtype=self.dtype)
         self.eval_step = make_eval_step(self.net, self.model_cfg, self.mesh)
         self.best_score = -np.inf
         self.ckpt_mgr = None

@@ -71,8 +71,13 @@ def main(args):
         train_loader = PrefetchLoader(train_loader, num_workers=args.workers)
         val_loader = PrefetchLoader(val_loader, num_workers=args.workers)
 
+    dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
     trainer = Trainer(net, model_cfg, train_cfg, mesh=mesh, logdir=logdir,
-                      use_orbax=args.orbax)
+                      use_orbax=args.orbax, dtype=dtype)
     trainer.fit(state, train_loader, val_loader, epochs=args.epochs)
 
 
@@ -93,6 +98,8 @@ if __name__ == "__main__":
     parser.add_argument("--load-path", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision training (bf16 compute, fp32 state)")
     parser.add_argument("--orbax", action="store_true",
                         help="full-state orbax checkpointing with auto-resume")
     parser.add_argument("--workers", type=int, default=4,

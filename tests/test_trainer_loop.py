@@ -41,3 +41,25 @@ def test_trainer_fit_checkpoints_and_resumes(tmp_path):
     assert trainer2.start_epoch == 3
     assert len(history2) == 1
     trainer2.ckpt_mgr.close()
+
+
+def test_trainer_bf16(tmp_path):
+    """Trainer(dtype=bf16) fits end-to-end with fp32 checkpoints."""
+    import jax.numpy as jnp
+
+    root, raw = tmp_path / "proc", tmp_path / "raw"
+    make_synthetic_dataset(root, raw, n_scenes=2, n_grasps=8)
+    train_loader, val_loader = create_train_val_loaders(
+        root, raw, batch_size=4, val_split=0.25, augment=False, num_point_occ=16
+    )
+    net, cfg = get_network("giga_aff")
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(net, cfg, TrainConfig(net="giga_aff"),
+                      logdir=tmp_path / "run16", dtype=jnp.bfloat16)
+    state, history = trainer.fit(state, train_loader, val_loader, epochs=1,
+                                 log=lambda *_: None)
+    assert np.isfinite(history[0]["train"]["loss_all"])
+    params = load_params(tmp_path / "run16" / "giga_aff_last.msgpack")
+    assert all(
+        leaf.dtype == np.float32 for leaf in jax.tree_util.tree_leaves(params)
+    )
