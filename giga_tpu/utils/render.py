@@ -124,6 +124,12 @@ class SoftwareRenderer:
              [200, 170, 90], [160, 125, 190], [120, 180, 180]], np.uint8
         )
         for i, (name, (mesh_path, scale, pose)) in enumerate(sorted(self._scene.items())):
+            from pathlib import Path
+
+            p = Path(str(mesh_path))
+            # primitive visual shapes report no mesh file; nothing to draw
+            if p.suffix.lower() not in (".obj", ".off", ".stl") or not p.exists():
+                continue
             m = self._load(mesh_path, scale).copy()
             m.apply_transform(pose.as_matrix())
             parts.append(m)
