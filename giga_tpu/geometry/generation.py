@@ -33,7 +33,8 @@ class MeshGenerator:
     def __init__(self, net, params, threshold: float = 0.5, resolution0: int = 32,
                  upsampling_steps: int = 2, points_batch_size: int = 100000,
                  padding: float = 0.0, simplify_nfaces: int | None = None,
-                 refinement_step: int = 0, strategy: str = "auto"):
+                 refinement_step: int = 0, strategy: str = "auto",
+                 precision: str = "fp32"):
         import jax
 
         self.net = net
@@ -56,6 +57,12 @@ class MeshGenerator:
             strategy = "dense" if final_res <= 256 else "refine"
         assert strategy in ("dense", "refine"), strategy
         self.strategy = strategy
+        # 'bf16' runs the dense occupancy decode with a bf16 trunk (MXU native
+        # speed); iso-surface interpolation only needs ~3 digits near the
+        # threshold, and the band/corner values are fetched as fp16 anyway.
+        # Encoding and postprocess stay fp32.
+        assert precision in ("fp32", "bf16"), precision
+        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.band_cells = 49152  # static device->host band buffer (cells)
         self._planes = None
         # jitted once: unjitted apply would dispatch op-by-op (very slow on
@@ -95,10 +102,15 @@ class MeshGenerator:
         coords = jnp.linspace(-box_size / 2, box_size / 2, n, dtype=jnp.float32)
 
         def dense(params, planes):
-            feats = _lattice_features({t: v[0] for t, v in planes.items()},
-                                      coords, cfg)
-            out = decode_dense(params["params"]["decoder_occ"], feats, coords,
-                               cfg.decoder.n_blocks)
+            p = params["params"]["decoder_occ"]
+            planes = {t: v[0] for t, v in planes.items()}
+            if self.compute_dtype is not None:
+                import jax
+
+                p = jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
+                planes = {t: v.astype(self.compute_dtype) for t, v in planes.items()}
+            feats = _lattice_features(planes, coords, cfg)
+            out = decode_dense(p, feats, coords, cfg.decoder.n_blocks)
             return out[0, ..., 0].astype(jnp.float16)
 
         return dense
@@ -235,6 +247,12 @@ class MeshGenerator:
             planes = self.net.apply(
                 params, grids.astype(jnp.float32), method="encode"
             )
+            dec_params = params["params"]["decoder_occ"]
+            if self.compute_dtype is not None:
+                dec_params = jax.tree.map(
+                    lambda a: a.astype(self.compute_dtype), dec_params
+                )
+                planes = {t: v.astype(self.compute_dtype) for t, v in planes.items()}
             if "grid" in planes:
                 from giga_tpu.ops.sampling import sample_grid
 

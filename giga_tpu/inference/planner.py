@@ -111,7 +111,8 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
                 from giga_tpu.ops.pallas.decoder_kernel import decode_affordance_dense_pallas
 
                 qual, rot, width = decode_affordance_dense_pallas(
-                    p["decoder_aff"], feats, coords, n_blocks
+                    p["decoder_aff"], feats, coords, n_blocks,
+                    compute_dtype=jnp.bfloat16 if dtype is not None else jnp.float32,
                 )
             else:
                 qual, rot, width = decode_affordance_dense(
@@ -220,7 +221,7 @@ def build_sharded_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
 
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
-    net_sharding = NamedSharding(mesh, P(None, axis))  # (heads, Rx, Ry, Rz, h)
+    net_sharding = NamedSharding(mesh, P(axis))  # (Rx, Ry, Rz, heads*h)
     repl = NamedSharding(mesh, P())
 
     def plan(params, tsdf, tsdf_process):

@@ -72,7 +72,7 @@ def main(args):
         val_loader = PrefetchLoader(val_loader, num_workers=args.workers)
 
     dtype = None
-    if args.bf16:
+    if getattr(args, "bf16", False):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
