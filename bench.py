@@ -130,6 +130,10 @@ def main():
     batched_bf16_sps = guarded(
         "batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")
     )
+    batched_fp32_pallas_sps = guarded(
+        "batched fp32+pallas",
+        lambda: run_batched(None, "fp32+pallas", use_pallas=True),
+    )
     batched_bf16_pallas_sps = guarded(
         "batched bf16+pallas",
         lambda: run_batched(jnp.bfloat16, "bf16+pallas", use_pallas=True),
@@ -272,6 +276,7 @@ def main():
         "single_scene_bf16_ms": round(bf16_dt * 1e3, 3),
         "batched_scenes_per_sec": round(batched_sps, 2),
         "batched_bf16_scenes_per_sec": round(batched_bf16_sps, 2),
+        "batched_fp32_pallas_scenes_per_sec": round(batched_fp32_pallas_sps, 2),
         "batched_bf16_pallas_scenes_per_sec": round(batched_bf16_pallas_sps, 2),
         "train_samples_per_sec": round(train_sps, 2),
         "train_bf16_samples_per_sec": round(train_bf16_sps, 2),

@@ -77,10 +77,10 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
     """Returns jitted (params, tsdf (R,R,R), tsdf_process (R,R,R)) -> (GraspCandidates, qual_vol, rot_vol, width_vol).
 
     ``use_pallas`` selects the fused-trunk Pallas decode on TPU. Measured on
-    v5e: the Pallas kernel wins in isolation (0.087 vs 0.098 ms) but inside
-    the full planner XLA's cross-op fusion wins (0.117 vs 0.153 ms
-    end-to-end), so the XLA path is the default; the kernel is kept for
-    larger lattices / batched serving where the fused trunk pays off.
+    v5e with true-barrier timings (single scene): XLA 1.78 ms fp32 / 0.77 ms
+    bf16 vs Pallas 1.81 / 0.98 — XLA's cross-op fusion wins at B=1, so it is
+    the default here; the fused kernel wins for batched serving (see
+    ``build_batched_giga_planner_fn``) where the XLA trunk is HBM-bound.
 
     ``dtype=jnp.bfloat16`` runs the network trunk (encoder + dense decode) in
     bf16 — the MXU's native precision — while masking/NMS/top-K stay fp32.
@@ -145,6 +145,12 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     whole pipeline is a pure map over scenes, so GSPMD partitions it with no
     collectives until the (small) result gather. B must divide by the mesh
     size.
+
+    ``use_pallas`` runs the decode trunk as the fused VMEM-resident Pallas
+    kernel — the batched XLA trunk materializes (B, R^3, heads*hidden)
+    activations in HBM and is bandwidth-bound (B=64 on v5e: 590 scenes/s
+    fp32 / 1278 bf16 XLA vs 865 / 2505 Pallas). Not combined with ``mesh``
+    (GSPMD cannot partition a pallas_call over the batch grid).
     """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
@@ -174,7 +180,8 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                     planes, coords, model_cfg.encoder.plane_resolution,
                     model_cfg.decoder.padding,
                 )
-            if use_pallas and "dense" not in feats and jax.default_backend() == "tpu":
+            if (use_pallas and mesh is None and "dense" not in feats
+                    and jax.default_backend() == "tpu"):
                 from giga_tpu.ops.pallas.decoder_kernel import (
                     decode_affordance_dense_pallas_batched,
                 )
@@ -365,9 +372,12 @@ class GIGAPlanner:
             ~400k scenes/s at B=64 on one v5e chip (vs ~8.5k single-scene).
         """
         if self._vfn is None:
+            # the fused-trunk Pallas decode wins for batched serving on TPU
+            # (865 vs 590 scenes/s fp32, 2505 vs 1278 bf16 at B=64 on v5e);
+            # build_batched falls back to the XLA path off-TPU
             self._vfn = build_batched_giga_planner_fn(
                 self.net, self.model_cfg, self.planner_cfg, self.size,
-                dtype=self._dtype,
+                dtype=self._dtype, use_pallas=True,
             )
         grids = jnp.asarray(np.squeeze(np.asarray(tsdf_grids)).reshape(
             -1, *tsdf_grids.shape[-3:]).astype(np.float32))
