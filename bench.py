@@ -11,6 +11,12 @@ while execution is still queued, which silently inflated round-1 numbers by
 up to ~50x. Every number here is a marginal-slope measurement with a true
 host fetch as the barrier (giga_tpu/utils/benchmark.py).
 
+Process isolation (round 2 fix #2): long single-process benchmark sessions
+through the tunnel start failing with spurious INVALID_ARGUMENT errors once
+many programs have been compiled/run; each metric section therefore runs in
+its own subprocess (fresh backend), and this parent merges their partial
+JSON. Set BENCH_SECTION to run one section in-process.
+
 Baseline: the reference PyTorch CPU path runs ~50 ms/scene (perception.py:108
 documents 35 ms of host TSDF readout alone within a ~50 ms pipeline), i.e.
 ~20 scenes/sec. vs_baseline = ours / 20.
@@ -19,6 +25,8 @@ Prints exactly one JSON line to stdout; details go to stderr.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -26,62 +34,59 @@ import numpy as np
 
 REFERENCE_SCENES_PER_SEC = 20.0  # ~50 ms/scene reference pipeline
 V5E_PEAK_BF16 = 197e12  # FLOP/s
+SECTIONS = ("planner", "batched", "models", "train", "meshgen")
+SECTION_TIMEOUT_S = 1200
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def guarded(label, fn, default=float("nan")):
+    """Secondary metrics must never kill the primary JSON line."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        log(f"{label} failed: {type(e).__name__}: {e}")
+        return default
+
+
+def _giga_setup():
     import jax
     import jax.numpy as jnp
 
     from giga_tpu.core.config import PlannerConfig
-    from giga_tpu.inference.planner import (
-        build_batched_giga_planner_fn,
-        build_giga_planner_fn,
-        build_vgn_planner_fn,
-    )
     from giga_tpu.models.registry import get_network
-    from giga_tpu.utils.benchmark import dispatch_floor, true_latency
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     net, cfg = get_network("giga")
     rng_np = np.random.RandomState(0)
     tsdf0 = jnp.zeros((1, 40, 40, 40), jnp.float32)
     p0 = jnp.zeros((1, 1, 3), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
-
     planner_cfg = PlannerConfig(force_detection=True)
-    plan = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3)
-
     grids = [jnp.asarray(rng_np.rand(40, 40, 40).astype(np.float32)) for _ in range(32)]
+    return net, cfg, params, planner_cfg, grids, tsdf0, p0, rng_np
 
-    t0 = time.time()
+
+def section_planner() -> dict:
+    import jax.numpy as jnp
+
+    from giga_tpu.inference.planner import build_giga_planner_fn
+    from giga_tpu.utils.benchmark import dispatch_floor, true_latency
+
+    net, cfg, params, planner_cfg, grids, _, _, _ = _giga_setup()
+
     floor = dispatch_floor()
     log(f"dispatch floor (trivial program): {floor * 1e3:.3f} ms/call")
 
+    plan = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3)
     t0 = time.time()
     cands, _ = plan(params, grids[0], grids[0])
     np.asarray(cands.scores)
     log(f"compile+first run: {time.time() - t0:.1f}s")
+    dt = true_latency(plan, [(params, g, g) for g in grids])
+    log(f"single-scene true latency: {dt * 1e3:.3f} ms -> {1.0 / dt:.1f} scenes/s")
 
-    single_args = [(params, g, g) for g in grids]
-    dt = true_latency(plan, single_args)
-    scenes_per_sec = 1.0 / dt
-    log(f"single-scene true latency: {dt * 1e3:.3f} ms -> {scenes_per_sec:.1f} scenes/s")
-
-    def guarded(label, fn, default=float("nan")):
-        """Secondary metrics must never kill the primary JSON line."""
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001
-            log(f"{label} failed: {type(e).__name__}: {e}")
-            return default
-
-    # bf16-trunk single-scene serving latency
     def run_bf16_single():
         plan16 = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
                                        dtype=jnp.bfloat16)
@@ -92,8 +97,20 @@ def main():
         return d
 
     bf16_dt = guarded("bf16 single", run_bf16_single)
+    return {
+        "dispatch_floor_ms": round(floor * 1e3, 3),
+        "single_scene_ms": round(dt * 1e3, 3),
+        "single_scene_bf16_ms": round(bf16_dt * 1e3, 3),
+    }
 
-    # batched serving throughput: natively batched program
+
+def section_batched() -> dict:
+    import jax.numpy as jnp
+
+    from giga_tpu.inference.planner import build_batched_giga_planner_fn
+    from giga_tpu.utils.benchmark import true_latency
+
+    net, cfg, params, planner_cfg, _, _, _, rng_np = _giga_setup()
     B = 64
     batches = [
         jnp.asarray(rng_np.rand(B, 40, 40, 40).astype(np.float32)) for _ in range(4)
@@ -126,20 +143,35 @@ def main():
         roofline(bplan, d, f"{label} batched B={B}")
         return sps
 
-    batched_sps = guarded("batched fp32", lambda: run_batched(None, "fp32"))
-    batched_bf16_sps = guarded(
-        "batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")
-    )
-    batched_fp32_pallas_sps = guarded(
-        "batched fp32+pallas",
-        lambda: run_batched(None, "fp32+pallas", use_pallas=True),
-    )
-    batched_bf16_pallas_sps = guarded(
-        "batched bf16+pallas",
-        lambda: run_batched(jnp.bfloat16, "bf16+pallas", use_pallas=True),
-    )
+    return {
+        "batched_scenes_per_sec": round(
+            guarded("batched fp32", lambda: run_batched(None, "fp32")), 2),
+        "batched_bf16_scenes_per_sec": round(
+            guarded("batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")), 2),
+        "batched_fp32_pallas_scenes_per_sec": round(
+            guarded("batched fp32+pallas",
+                    lambda: run_batched(None, "fp32+pallas", use_pallas=True)), 2),
+        "batched_bf16_pallas_scenes_per_sec": round(
+            guarded("batched bf16+pallas",
+                    lambda: run_batched(jnp.bfloat16, "bf16+pallas",
+                                        use_pallas=True)), 2),
+    }
 
-    # VGN dense 3D-CNN planner on a single 40^3 TSDF
+
+def section_models() -> dict:
+    """VGN / GIGA-Aff / GIGA-Geo single-scene paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from giga_tpu.inference.planner import (
+        build_giga_planner_fn,
+        build_vgn_planner_fn,
+    )
+    from giga_tpu.models.registry import get_network
+    from giga_tpu.utils.benchmark import true_latency
+
+    _, _, _, planner_cfg, grids, tsdf0, p0, rng_np = _giga_setup()
+
     def run_vgn():
         vgn_net, _ = get_network("vgn")
         vgn_params = vgn_net.init(jax.random.PRNGKey(1), tsdf0)
@@ -150,9 +182,6 @@ def main():
         log(f"vgn planner: {dtv * 1e3:.3f} ms/scene")
         return dtv
 
-    vgn_dt = guarded("vgn", run_vgn)
-
-    # GIGA-Aff: affordance-only planner (no occ head)
     def run_aff():
         aff_net, aff_cfg = get_network("giga_aff")
         aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)
@@ -163,9 +192,6 @@ def main():
         log(f"giga_aff planner: {dta * 1e3:.3f} ms/scene")
         return dta
 
-    aff_dt = guarded("giga_aff", run_aff)
-
-    # GIGA-Geo: 100k occupancy queries per scene (reconstruction workload)
     def run_geo():
         geo_net, geo_cfg = get_network("giga_geo")
         qp = jnp.zeros((1, 1, 3), jnp.float32)
@@ -176,7 +202,8 @@ def main():
         ]
         geo_query = jax.jit(
             lambda pp, grid, q: geo_net.apply(
-                pp, geo_net.apply(pp, grid, method="encode"), q, method="decode_occupancy"
+                pp, geo_net.apply(pp, grid, method="encode"), q,
+                method="decode_occupancy"
             )
         )
         np.asarray(geo_query(geo_params, grids[0][None], pts[0]))[:1]
@@ -186,10 +213,21 @@ def main():
         log(f"giga_geo encode+100k occ queries: {dtg * 1e3:.3f} ms/scene")
         return dtg
 
-    geo_dt = guarded("giga_geo", run_geo)
+    return {
+        "vgn_scene_ms": round(guarded("vgn", run_vgn) * 1e3, 3),
+        "giga_aff_scene_ms": round(guarded("giga_aff", run_aff) * 1e3, 3),
+        "giga_geo_100k_queries_ms": round(guarded("giga_geo", run_geo) * 1e3, 3),
+    }
 
-    # training-step throughput (batch 32, 2048 occ points — reference defaults)
+
+def section_train() -> dict:
+    """Training-step throughput (batch 32, 2048 occ points — reference defaults)."""
+    import jax
+    import jax.numpy as jnp
+
     from giga_tpu.train.trainer import create_train_state, make_train_step
+
+    net, cfg, _, _, _, _, _, _ = _giga_setup()
 
     def run_train(dtype=None, label="fp32"):
         state = create_train_state(net, cfg, jax.random.PRNGKey(0))
@@ -229,13 +267,21 @@ def main():
         log(f"train step (B={Bt}, {label}): {dstep * 1e3:.2f} ms -> {sps:.0f} samples/s")
         return sps
 
-    # warm mesh generation (reconstruction path; device-banded, 128^3)
+    return {
+        "train_samples_per_sec": round(guarded("train", run_train), 2),
+        "train_bf16_samples_per_sec": round(
+            guarded("train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")), 2),
+    }
+
+
+def section_meshgen() -> dict:
+    """Warm mesh generation (reconstruction path; device-banded, 128^3)."""
     def run_meshgen():
         from giga_tpu.geometry.generation import MeshGenerator
-        from giga_tpu.models.registry import get_network as gn, load_params
+        from giga_tpu.models.registry import get_network, load_params
         from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
 
-        geo_net, _ = gn("giga_geo")
+        geo_net, _ = get_network("giga_geo")
         geo_params = load_params("checkpoints/synthetic_giga_geo.msgpack")
         gen = MeshGenerator(geo_net, geo_params, resolution0=32, upsampling_steps=2)
         r = np.random.RandomState(0)
@@ -260,35 +306,71 @@ def main():
             f" batched B={B}: {batched * 1e3:.0f} ms/scene")
         return single, batched
 
-    meshgen = guarded("meshgen", run_meshgen, default=(float("nan"),) * 2)
+    single, batched = guarded("meshgen", run_meshgen, default=(float("nan"),) * 2)
+    return {
+        "mesh_gen_ms_per_scene": round(single * 1e3, 1),
+        "mesh_gen_batched_ms_per_scene": round(batched * 1e3, 1),
+    }
 
-    train_sps = guarded("train", run_train)
-    train_bf16_sps = guarded(
-        "train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")
-    )
 
+SECTION_FNS = {
+    "planner": section_planner,
+    "batched": section_batched,
+    "models": section_models,
+    "train": section_train,
+    "meshgen": section_meshgen,
+}
+
+
+def run_section_subprocess(name: str) -> dict:
+    env = dict(os.environ, BENCH_SECTION=name)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=SECTION_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"section {name}: timed out after {SECTION_TIMEOUT_S}s")
+        return {}
+    sys.stderr.write(proc.stderr)
+    log(f"section {name}: {time.time() - t0:.0f}s, exit {proc.returncode}")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return {}
+
+
+def main():
+    section = os.environ.get("BENCH_SECTION")
+    if section:
+        result = SECTION_FNS[section]()
+        result = {
+            k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+            for k, v in result.items()
+        }
+        print(json.dumps(result))
+        return
+
+    # the parent stays backend-free: each section subprocess owns a fresh
+    # tunnel session (see module docstring)
+    merged = {}
+    for name in SECTIONS:
+        merged.update(run_section_subprocess(name))
+
+    single_ms = merged.get("single_scene_ms")
+    sps = 1e3 / single_ms if single_ms else float("nan")
     result = {
         "metric": "giga_planner_scenes_per_sec",
-        "value": round(scenes_per_sec, 2),
+        "value": round(sps, 2),
         "unit": "scenes/s",
-        "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
-        "single_scene_ms": round(dt * 1e3, 3),
-        "single_scene_bf16_ms": round(bf16_dt * 1e3, 3),
-        "batched_scenes_per_sec": round(batched_sps, 2),
-        "batched_bf16_scenes_per_sec": round(batched_bf16_sps, 2),
-        "batched_fp32_pallas_scenes_per_sec": round(batched_fp32_pallas_sps, 2),
-        "batched_bf16_pallas_scenes_per_sec": round(batched_bf16_pallas_sps, 2),
-        "train_samples_per_sec": round(train_sps, 2),
-        "train_bf16_samples_per_sec": round(train_bf16_sps, 2),
-        "vgn_scene_ms": round(vgn_dt * 1e3, 3),
-        "giga_aff_scene_ms": round(aff_dt * 1e3, 3),
-        "giga_geo_100k_queries_ms": round(geo_dt * 1e3, 3),
-        "mesh_gen_ms_per_scene": round(meshgen[0] * 1e3, 1),
-        "mesh_gen_batched_ms_per_scene": round(meshgen[1] * 1e3, 1),
-        "dispatch_floor_ms": round(floor * 1e3, 3),
-        "timing": "marginal slope with host-fetch barrier (block_until_ready does not sync on this backend)",
+        "vs_baseline": round(sps / REFERENCE_SCENES_PER_SEC, 2),
+        **merged,
+        "timing": "marginal slope with host-fetch barrier (block_until_ready"
+                  " does not sync on this backend); one subprocess per section",
     }
-    # NaN is not valid JSON; failed secondary metrics become null
     result = {
         k: (None if isinstance(v, float) and not np.isfinite(v) else v)
         for k, v in result.items()
