@@ -247,15 +247,20 @@ def section_train() -> dict:
             }
 
         data = [mk_batch(s) for s in range(4)]
-        # thread the state through n steps, fetch the last loss as the barrier
-        st, terms = step(state, data[0])
+        # the step DONATES its state argument (trainer.py), so never reuse a
+        # state that has been passed in once — thread the single live state
+        # through every chain and fetch the last loss as the barrier
+        live = {"state": state}
+        cur, terms = step(state, data[0])
+        live["state"] = cur
         np.asarray(terms["loss_all"])
 
         def run_n(n):
             t0 = time.perf_counter()
-            cur, t = state, None
+            cur, t = live["state"], None
             for i in range(n):
                 cur, t = step(cur, data[i % 4])
+            live["state"] = cur
             np.asarray(t["loss_all"])
             return time.perf_counter() - t0
 
