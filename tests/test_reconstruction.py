@@ -86,6 +86,31 @@ class TestMeshGenerator:
         if len(mesh.vertices):
             assert np.all(np.abs(mesh.vertices) <= 0.51)
 
+    def test_bf16_decode_matches_fp32_surface(self):
+        """The bf16 decode option must reconstruct essentially the same
+        surface as fp32 (iso-surfacing only needs the threshold
+        neighborhood)."""
+        from giga_tpu.geometry.generation import MeshGenerator
+        from giga_tpu.models.registry import get_network, load_params
+        from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+
+        net, _ = get_network("giga_geo")
+        params = load_params("checkpoints/synthetic_giga_geo.msgpack")
+        rng = np.random.RandomState(3)
+        tsdf = mesh_to_tsdf(random_scene(rng, 0.3), 0.3, 40)
+        kw = dict(resolution0=16, upsampling_steps=1)
+        m32 = MeshGenerator(net, params, **kw).generate_mesh(tsdf, return_stats=False)
+        m16 = MeshGenerator(net, params, precision="bf16", **kw).generate_mesh(
+            tsdf, return_stats=False)
+        assert len(m32.faces) > 0 and len(m16.faces) > 0
+        # vertex clouds should be close: compare via nearest-neighbor distance
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(m32.vertices).query(m16.vertices)
+        # 33^3 lattice over a unit box -> cell ~0.03; bf16 shifts the surface
+        # by well under a cell
+        assert np.median(d) < 0.01, f"median NN distance {np.median(d):.4f}"
+
 
 class TestEstimateNormals:
     def test_unit_normals_from_field_gradient(self):
