@@ -35,6 +35,7 @@ def main(args):
     generator = MeshGenerator(
         net, params, threshold=args.th,
         resolution0=args.resolution0, upsampling_steps=args.upsampling_steps,
+        precision=getattr(args, "precision", "fp32"),
     )
     rng = np.random.RandomState(args.seed)
     if args.roi:
@@ -130,6 +131,9 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--batch", type=int, default=8,
                         help="scenes reconstructed per device dispatch")
+    parser.add_argument("--precision", choices=["fp32", "bf16"], default="fp32",
+                        help="bf16 runs the occupancy decode at MXU rate"
+                             " (surface parity gated by tests)")
     args = parser.parse_args()
     set_random_seed(args.seed)
     main(args)
