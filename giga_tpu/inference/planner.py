@@ -149,8 +149,11 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     ``use_pallas`` runs the decode trunk as the fused VMEM-resident Pallas
     kernel — the batched XLA trunk materializes (B, R^3, heads*hidden)
     activations in HBM and is bandwidth-bound (B=64 on v5e: 590 scenes/s
-    fp32 / 1278 bf16 XLA vs 865 / 2505 Pallas). Not combined with ``mesh``
-    (GSPMD cannot partition a pallas_call over the batch grid).
+    fp32 / 1278 bf16 XLA vs 865 / 2505 Pallas). With ``mesh`` the batch axis
+    is distributed via ``shard_map`` (GSPMD cannot partition a pallas_call,
+    but shard_map runs the whole per-device program — including the kernel —
+    independently per chip; the pipeline is a pure map over scenes, so no
+    collectives exist to lose).
     """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
@@ -180,7 +183,7 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                     planes, coords, model_cfg.encoder.plane_resolution,
                     model_cfg.decoder.padding,
                 )
-            if (use_pallas and mesh is None and "dense" not in feats
+            if (use_pallas and "dense" not in feats
                     and jax.default_backend() == "tpu"):
                 from giga_tpu.ops.pallas.decoder_kernel import (
                     decode_affordance_dense_pallas_batched,
@@ -209,6 +212,19 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     if mesh is None:
         return jax.jit(plan)
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if use_pallas:
+        # shard_map: each device runs the full per-shard program (pallas
+        # kernel included) on its B/n scenes; outputs stay batch-sharded
+        from jax.experimental.shard_map import shard_map
+
+        sharded = shard_map(
+            plan, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return jax.jit(sharded)
 
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P(axis))

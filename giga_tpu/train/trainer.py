@@ -30,7 +30,11 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 40)):
+def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 40),
+                       clip_norm: float | None = None):
+    """``clip_norm`` prepends global-norm gradient clipping to Adam — off by
+    default (the reference trains with plain Adam), but worth 1.0 for small
+    synthetic datasets where a loss spike can NaN the run."""
     tsdf = jnp.zeros(tsdf_shape, jnp.float32)
     p = jnp.zeros((tsdf_shape[0], 1, 3), jnp.float32)
     if not isinstance(cfg, GIGAConfig):  # dense VGN baseline
@@ -40,6 +44,8 @@ def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 4
     else:
         params = net.init(rng, tsdf, p, p if cfg.decoder_tsdf else None)
     tx = optax.adam(lr)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return TrainState.create(apply_fn=net.apply, params=params, tx=tx)
 
 

@@ -71,7 +71,9 @@ def main(args):
         import optax
 
         lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
-    state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed), lr=lr)
+    clip = args.clip_norm if args.clip_norm > 0 else None
+    state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed), lr=lr,
+                               clip_norm=clip)
     step = make_train_step(net, cfg)
 
     rng = np.random.RandomState(args.seed)
@@ -189,6 +191,10 @@ if __name__ == "__main__":
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--clip-norm", type=float, default=1.0,
+                        help="global-norm gradient clip (loss spikes on the"
+                             " small synthetic set can otherwise NaN a run);"
+                             " pass 0 to disable")
     parser.add_argument("--cosine-lr", action="store_true",
                         help="cosine-decay the learning rate over --steps")
     parser.add_argument("--save-params", type=str, default="",

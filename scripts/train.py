@@ -54,7 +54,9 @@ def main(args):
         mesh = make_mesh()
         print(f"data parallel over {len(mesh.devices.ravel())} devices")
 
-    state = create_train_state(net, model_cfg, jax.random.PRNGKey(args.seed), lr=args.lr)
+    clip = getattr(args, "clip_norm", 0.0)
+    state = create_train_state(net, model_cfg, jax.random.PRNGKey(args.seed),
+                               lr=args.lr, clip_norm=clip if clip > 0 else None)
     if args.load_path:
         from giga_tpu.models.registry import load_network
 
@@ -93,6 +95,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--clip-norm", type=float, default=0.0,
+                        help="global-norm gradient clip; 0 (default) = off,"
+                             " matching the reference's plain Adam")
     parser.add_argument("--val-split", type=float, default=0.1)
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--load-path", type=str, default="")

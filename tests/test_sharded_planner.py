@@ -71,3 +71,35 @@ def test_dp_batch_sharded_serving_matches_unsharded():
         np.testing.assert_array_equal(
             np.asarray(c1.positions)[b, :n], np.asarray(c2.positions)[b, :n]
         )
+
+
+def test_dp_shard_map_pallas_serving_matches_unsharded():
+    """The shard_map distribution used for the Pallas batched trunk (each
+    device runs its whole per-shard program) must also reproduce the
+    unsharded batched results. On CPU the pallas gate falls back to the XLA
+    decode inside each shard, so this validates the distribution structure."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, axis="dp")
+    net, cfg = get_network("giga")
+    tsdf0 = jnp.zeros((1, 40, 40, 40))
+    p0 = jnp.zeros((1, 1, 3))
+    params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
+    pcfg = PlannerConfig(force_detection=True)
+
+    rng = np.random.RandomState(2)
+    B = 16  # 2 scenes per device
+    grids = jnp.asarray(rng.rand(B, 40, 40, 40).astype(np.float32))
+
+    bplan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3)
+    splan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3, mesh=mesh,
+                                          use_pallas=True)
+
+    c1, _ = jax.device_get(bplan(params, grids, grids))
+    c2, _ = jax.device_get(splan(params, grids, grids))
+
+    np.testing.assert_array_equal(np.asarray(c1.count), np.asarray(c2.count))
+    for b in range(B):
+        n = int(np.asarray(c1.count)[b])
+        np.testing.assert_allclose(
+            np.asarray(c1.scores)[b, :n], np.asarray(c2.scores)[b, :n], atol=1e-5
+        )
