@@ -100,6 +100,17 @@ def _resnet_fc(sd, prefix):
     return out
 
 
+def convert_patch_decoder_state_dict(sd: dict, n_blocks: int = 5) -> dict:
+    """Reference PatchLocalDecoder (decoder.py:208-301) -> flax param tree
+    for models/decoder.py::PatchLocalDecoder."""
+    sd = _to_numpy(sd)
+    params = {"fc_p": _dense(sd, "fc_p"), "fc_out": _dense(sd, "fc_out")}
+    for i in range(n_blocks):
+        params[f"fc_c{i}"] = _dense(sd, f"fc_c.{i}")
+        params[f"block{i}"] = _resnet_fc(sd, f"blocks.{i}")
+    return {"params": params}
+
+
 def convert_pointnet_state_dict(sd: dict, n_blocks: int = 5) -> dict:
     """Reference LocalPoolPointnet (pointnet.py:11-157) -> flax param tree.
 

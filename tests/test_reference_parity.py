@@ -342,3 +342,117 @@ class TestPlannerParity:
             assert score == pytest.approx(s, abs=1e-4)
             q_ours = g.pose.rotation.as_quat()
             assert min(np.abs(q_ours - quat).max(), np.abs(q_ours + quat).max()) < 1e-4
+
+
+class TestPatchDecoderParity:
+    """Crop decoder vs the reference's actual PatchLocalDecoder
+    (decoder.py:208-301), both positional encodings."""
+
+    @pytest.mark.parametrize("pos_encoding", ["linear", "sin_cos"])
+    def test_patch_local_decoder(self, ref, pos_encoding):
+        import importlib
+
+        dec_mod = importlib.import_module("vgn.ConvONets.conv_onet.models.decoder")
+        torch.manual_seed(11)
+        golden = dec_mod.PatchLocalDecoder(
+            dim=3, c_dim=32, hidden_size=32, n_blocks=3, local_coord=True,
+            unit_size=0.1, pos_encoding=pos_encoding,
+        )
+        with torch.no_grad():
+            for prm in golden.parameters():
+                prm.data = torch.randn_like(prm) * 0.2
+
+        rng = np.random.RandomState(12)
+        H = W = 16
+        planes_t = {
+            t: torch.from_numpy(rng.randn(1, 32, H, W).astype(np.float32))
+            for t in ("xz", "xy", "yz")
+        }
+        p = rng.uniform(0.0, 1.0, (1, 64, 3)).astype(np.float32)
+        p_n = {
+            t: rng.uniform(0.0, 1.0, (1, 64, 2)).astype(np.float32)
+            for t in ("xz", "xy", "yz")
+        }
+        with torch.no_grad():
+            gold = golden(
+                {"p": torch.from_numpy(p),
+                 "p_n": {t: torch.from_numpy(v) for t, v in p_n.items()}},
+                planes_t,
+            ).numpy()
+
+        from giga_tpu.core.config import DecoderConfig
+        from giga_tpu.models.decoder import PatchLocalDecoder
+        from giga_tpu.models.torch_convert import convert_patch_decoder_state_dict
+
+        mine = PatchLocalDecoder(
+            DecoderConfig(c_dim=32, hidden_size=32, n_blocks=3), out_dim=1,
+            local_coord=True, unit_size=0.1, pos_encoding=pos_encoding,
+        )
+        params = convert_patch_decoder_state_dict(golden.state_dict(), n_blocks=3)
+        planes_j = {t: jnp.asarray(v.numpy().transpose(0, 2, 3, 1))
+                    for t, v in planes_t.items()}
+        out = mine.apply(params, jnp.asarray(p),
+                         {t: jnp.asarray(v) for t, v in p_n.items()}, planes_j)
+        np.testing.assert_allclose(np.asarray(out), gold, atol=ATOL)
+
+
+class TestPatchEncoderParity:
+    """Crop point encoder vs the reference's actual PatchLocalPoolPointnet
+    (pointnet.py:159-313): same points, each side computing its own index
+    convention (reference: i0 + reso*i1 flat ids; ours: i1*reso + i0 — both
+    land on plane[row=second axis, col=first axis])."""
+
+    def test_patch_local_pool_pointnet(self, ref):
+        import importlib
+
+        pnet_mod = importlib.import_module("vgn.ConvONets.encoder.pointnet")
+        common = importlib.import_module("vgn.ConvONets.common")
+
+        reso, cdim, hid, nb = 8, 16, 16, 3
+        torch.manual_seed(21)
+        golden = pnet_mod.PatchLocalPoolPointnet(
+            c_dim=cdim, dim=3, hidden_dim=hid, scatter_type="max",
+            unet=True, unet_kwargs={"depth": 2, "start_filts": 16,
+                                    "merge_mode": "concat"},
+            plane_resolution=reso, plane_type=["xz", "xy", "yz"], n_blocks=nb,
+            local_coord=True, unit_size=0.1, pos_encoding="linear",
+        )
+        with torch.no_grad():
+            for prm in golden.parameters():
+                prm.data = torch.randn_like(prm) * 0.2
+
+        rng = np.random.RandomState(22)
+        T = 128
+        lo = np.array([0.2, 0.1, 0.0], np.float32)
+        hi = np.array([0.8, 0.7, 0.6], np.float32)
+        pts = rng.uniform(lo, hi, (T, 3)).astype(np.float32)
+        vol = (lo, hi)
+
+        # reference-side indices via its own coord2index (mutates p: copy)
+        ref_index = {}
+        for t in ("xz", "xy", "yz"):
+            idx = common.coord2index(
+                torch.from_numpy(pts.copy()), np.stack(vol), reso=reso, plane=t
+            )
+            ref_index[t] = idx[None]  # (B=1, 1, T)
+        with torch.no_grad():
+            gold = golden({"points": torch.from_numpy(pts[None]),
+                           "index": ref_index})
+
+        from giga_tpu.core.config import EncoderConfig, UNet2DConfig
+        from giga_tpu.models.crop import crop_plane_indices
+        from giga_tpu.models.pointnet import PatchLocalPoolPointnet
+        from giga_tpu.models.torch_convert import convert_pointnet_state_dict
+
+        mine = PatchLocalPoolPointnet(
+            EncoderConfig(c_dim=cdim, plane_resolution=reso,
+                          unet=UNet2DConfig(depth=2, start_filts=16)),
+            hidden_dim=hid, n_blocks=nb, scatter_type="max",
+            local_coord=True, unit_size=0.1, pos_encoding="linear",
+        )
+        params = convert_pointnet_state_dict(golden.state_dict(), n_blocks=nb)
+        my_index = crop_plane_indices(jnp.asarray(pts[None]), vol, reso)
+        fea = mine.apply(params, jnp.asarray(pts[None]), my_index)
+        for t in ("xz", "xy", "yz"):
+            ours = np.asarray(fea[t])[0].transpose(2, 0, 1)  # (C, H, W)
+            np.testing.assert_allclose(ours, gold[t][0].numpy(), atol=1e-4)
