@@ -31,10 +31,14 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 40),
-                       clip_norm: float | None = None):
+                       clip_norm: float | None = None,
+                       skip_nonfinite: bool = False):
     """``clip_norm`` prepends global-norm gradient clipping to Adam — off by
     default (the reference trains with plain Adam), but worth 1.0 for small
-    synthetic datasets where a loss spike can NaN the run."""
+    synthetic datasets where a loss spike can NaN the run. ``skip_nonfinite``
+    wraps the optimizer in ``optax.apply_if_finite``: steps with inf/NaN
+    gradients are skipped instead of poisoning the params (clipping alone
+    cannot save an inf gradient — 0 * inf = NaN inside the clip scale)."""
     tsdf = jnp.zeros(tsdf_shape, jnp.float32)
     p = jnp.zeros((tsdf_shape[0], 1, 3), jnp.float32)
     if not isinstance(cfg, GIGAConfig):  # dense VGN baseline
@@ -46,6 +50,8 @@ def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 4
     tx = optax.adam(lr)
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return TrainState.create(apply_fn=net.apply, params=params, tx=tx)
 
 

@@ -73,7 +73,7 @@ def main(args):
         lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
     clip = args.clip_norm if args.clip_norm > 0 else None
     state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed), lr=lr,
-                               clip_norm=clip)
+                               clip_norm=clip, skip_nonfinite=True)
     step = make_train_step(net, cfg)
 
     rng = np.random.RandomState(args.seed)

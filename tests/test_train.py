@@ -211,3 +211,39 @@ class TestTrainStep:
         step1 = make_train_step(net1, cfg1)
         _, terms1 = step1(state1, jax.tree_util.tree_map(jnp.asarray, batch))
         assert float(terms["loss_all"]) == pytest.approx(float(terms1["loss_all"]), rel=1e-5)
+
+
+class TestNonFiniteGuard:
+    def test_skip_nonfinite_step_preserves_params(self):
+        """With skip_nonfinite, a batch that produces inf/NaN gradients must
+        leave the params untouched (clipping alone turns inf into NaN via
+        0 * inf in the clip scale), and training must resume on the next
+        finite batch."""
+        net, cfg = get_network("giga")
+        state = create_train_state(net, cfg, jax.random.PRNGKey(0),
+                                   clip_norm=1.0, skip_nonfinite=True)
+        step = make_train_step(net, cfg)
+        rng = np.random.RandomState(0)
+        B, N = 2, 16
+        batch = {
+            "tsdf": jnp.asarray(rng.rand(B, 40, 40, 40), jnp.float32),
+            "pos": jnp.asarray(rng.uniform(-0.4, 0.4, (B, 3)), jnp.float32),
+            "label": jnp.asarray(rng.randint(0, 2, B), jnp.float32),
+            "rotations": jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+            "width": jnp.asarray(rng.rand(B), jnp.float32),
+            "pos_occ": jnp.asarray(rng.uniform(-0.4, 0.4, (B, N, 3)), jnp.float32),
+            "occ": jnp.asarray(rng.randint(0, 2, (B, N)), jnp.float32),
+        }
+        state, terms = step(state, batch)
+        assert np.isfinite(float(terms["loss_all"]))
+        # snapshot BEFORE the poisoned step: the step donates its input state
+        snap = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+
+        bad = dict(batch, tsdf=batch["tsdf"].at[0, 0, 0, 0].set(jnp.nan))
+        state, terms_bad = step(state, bad)
+        assert not np.isfinite(float(terms_bad["loss_all"]))
+        for a, b in zip(snap, jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+        state, terms2 = step(state, batch)
+        assert np.isfinite(float(terms2["loss_all"]))
