@@ -216,13 +216,12 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     if use_pallas:
         # shard_map: each device runs the full per-shard program (pallas
         # kernel included) on its B/n scenes; outputs stay batch-sharded
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         sharded = shard_map(
             plan, mesh=mesh,
             in_specs=(P(), P(axis), P(axis)),
             out_specs=P(axis),
-            check_rep=False,
         )
         return jax.jit(sharded)
 

@@ -67,6 +67,27 @@ def main() -> None:
                 else contextlib.nullcontext())
 
     @jax.jit
+    def stage_conv_stem(params, tsdf):
+        """Conv3d stem + axis-mean pooling only (encoder minus the U-Net)."""
+        import flax.linen as nn
+
+        from giga_tpu.models.layers import TorchConv
+
+        with prec():
+            p, t = cast(params["params"], tsdf)
+            conv_p = p["encoder"]["conv_in"]
+            x = t[None][..., None]
+            feat = jax.nn.relu(
+                TorchConv(cfg.encoder.c_dim, cfg.encoder.kernel_size).apply(
+                    {"params": conv_p}, x
+                )
+            )
+            return {
+                t_: feat.mean(axis=ax).transpose(0, 2, 1, 3)
+                for t_, ax in (("xz", 2), ("xy", 3), ("yz", 1))
+            }
+
+    @jax.jit
     def stage_encode(params, tsdf):
         with prec():
             p, t = cast(params["params"], tsdf)
@@ -98,6 +119,7 @@ def main() -> None:
         return full_fn(params, tsdf, tsdf)
 
     stages = [
+        ("conv stem + pool", stage_conv_stem),
         ("encode", stage_encode),
         ("encode+sample", stage_sample),
         ("encode+sample+decode", stage_decode),
