@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from giga_tpu.core.config import EncoderConfig
-from giga_tpu.models.layers import TorchConv
+from giga_tpu.models.layers import TorchConv, ZBandedConvStem
 from giga_tpu.models.unet2d import UNet2D
 from giga_tpu.models.unet3d import UNet3D
 from giga_tpu.ops.scatter import scatter_mean_grid, scatter_mean_planes
@@ -48,7 +48,11 @@ class TriplaneVoxelEncoder(nn.Module):
         B = x.shape[0]
         in_res = x.shape[1:4]
         x = x[..., None]  # NDHWC
-        feat = jax.nn.relu(TorchConv(cfg.c_dim, cfg.kernel_size, name="conv_in")(x))
+        # param-compatible with TorchConv; on TPU the z axis folds into
+        # channels so the Cin=1 stem fills the MXU's contraction depth
+        feat = jax.nn.relu(
+            ZBandedConvStem(cfg.c_dim, cfg.kernel_size, name="conv_in")(x)
+        )
         # feat: (B, X, Y, Z, C)
 
         if "grid" in cfg.plane_types:

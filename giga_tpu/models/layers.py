@@ -170,3 +170,70 @@ class ConvTranspose2x2(nn.Module):
         y = jnp.einsum("bhwc,cdko->bhdwko", x, kernel)
         y = y.reshape(B, 2 * H, 2 * W, self.features)
         return y + bias
+
+class ZBandedConvStem(nn.Module):
+    """Conv3d(1 -> C, k, SAME) with the z axis folded into channels.
+
+    A Cin=1 conv3d gives the MXU a contraction depth of k^3 = 27 (of 128
+    lanes) — profiling shows the 40^3 stem costs ~0.56 ms of the 0.81 ms
+    fp32 encode. Treating the (B, X, Y, Z) volume as a 2D image with Z
+    channels and convolving with a z-banded (k, k, Z, Z*C) kernel raises the
+    contraction depth to k^2*Z (=360) for k^2*Z/k^3 = Z/k times the (cheap)
+    FLOPs. Numerically exact: the off-band kernel entries are zero, and
+    accumulating exact zeros cannot change an fp sum; the zero band also
+    reproduces the conv3d's zero padding along z.
+
+    Parameter tree is identical to ``TorchConv(name=...)`` — a "conv"
+    submodule holding kernel (k, k, k, 1, C) + bias — so checkpoints and the
+    torch converter are unaffected. Off TPU the same params run the plain
+    conv3d (the banded form only pays off on a systolic array).
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_zbanded: bool | None = None  # None = auto (banded on TPU only)
+
+    class _Params(nn.Module):
+        shape: tuple
+        fan_in: int
+
+        @nn.compact
+        def __call__(self):
+            kernel = self.param("kernel", torch_weight_init, self.shape)
+            bias = self.param("bias", torch_bias_init(self.fan_in),
+                              (self.shape[-1],))
+            return kernel, bias
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] == 1, "stem expects a single input channel"
+        k, C = self.kernel_size, self.features
+        kernel, bias = self._Params((k,) * 3 + (1, C), k**3, name="conv")()
+
+        banded = (jax.default_backend() == "tpu" if self.use_zbanded is None
+                  else self.use_zbanded)
+        if not banded:
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1, 1), [(k // 2, k // 2)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return out + bias
+
+        B, X, Y, Z, _ = x.shape
+        img = x[..., 0]  # (B, X, Y, Z) as NHWC with C=Z
+        # banded kernel: k2[kx, ky, zin, zout, c] = kernel[kx, ky, kz, 0, c]
+        # at kz = zin - zout + k//2 (cross-correlation), zero elsewhere
+        k2 = jnp.zeros((k, k, Z, Z, C), kernel.dtype)
+        half = k // 2
+        for kz in range(k):
+            zout = jnp.arange(max(0, half - kz), Z - max(0, kz - half))
+            zin = zout + kz - half
+            tap = jnp.broadcast_to(
+                kernel[:, :, kz, 0, :][:, :, None, :], (k, k, len(zout), C)
+            )
+            k2 = k2.at[:, :, zin, zout, :].set(tap)
+        out = jax.lax.conv_general_dilated(
+            img, k2.reshape(k, k, Z, Z * C), (1, 1), [(half, half)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(B, X, Y, Z, C) + bias

@@ -168,3 +168,33 @@ class TestVisual:
         visual.export_ply(composed, tmp_path / "scene.ply")
         text = (tmp_path / "scene.ply").read_text()
         assert "element face" in text and "red" in text
+
+
+class TestZBandedConvStem:
+    def test_banded_equals_direct_conv(self):
+        """The z-banded 2D formulation must reproduce the plain conv3d (the
+        off-band kernel entries are exact zeros)."""
+        from giga_tpu.models.layers import ZBandedConvStem
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 12, 12, 12, 1).astype(np.float32))
+        direct = ZBandedConvStem(8, 3, use_zbanded=False)
+        banded = ZBandedConvStem(8, 3, use_zbanded=True)
+        params = direct.init(jax.random.PRNGKey(0), x)
+        with jax.default_matmul_precision("highest"):
+            a = direct.apply(params, x)
+            b = banded.apply(params, x)
+        assert a.shape == (2, 12, 12, 12, 8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_param_tree_matches_torchconv(self):
+        from giga_tpu.models.layers import TorchConv, ZBandedConvStem
+
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        p1 = TorchConv(4, 3, name="conv_in").init(jax.random.PRNGKey(0), x)
+        p2 = ZBandedConvStem(4, 3, name="conv_in").init(jax.random.PRNGKey(0), x)
+        s1 = jax.tree_util.tree_structure(p1)
+        s2 = jax.tree_util.tree_structure(p2)
+        assert s1 == s2
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            assert a.shape == b.shape
