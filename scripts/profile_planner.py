@@ -68,17 +68,15 @@ def main() -> None:
 
     @jax.jit
     def stage_conv_stem(params, tsdf):
-        """Conv3d stem + axis-mean pooling only (encoder minus the U-Net)."""
-        import flax.linen as nn
-
-        from giga_tpu.models.layers import TorchConv
+        """Conv stem + axis-mean pooling only (encoder minus the U-Net)."""
+        from giga_tpu.models.layers import ZBandedConvStem
 
         with prec():
             p, t = cast(params["params"], tsdf)
             conv_p = p["encoder"]["conv_in"]
             x = t[None][..., None]
             feat = jax.nn.relu(
-                TorchConv(cfg.encoder.c_dim, cfg.encoder.kernel_size).apply(
+                ZBandedConvStem(cfg.encoder.c_dim, cfg.encoder.kernel_size).apply(
                     {"params": conv_p}, x
                 )
             )
