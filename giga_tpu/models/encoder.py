@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from giga_tpu.core.config import EncoderConfig
-from giga_tpu.models.layers import TorchConv, ZBandedConvStem
+from giga_tpu.models.layers import ZBandedConvStem
 from giga_tpu.models.unet2d import UNet2D
 from giga_tpu.models.unet3d import UNet3D
 from giga_tpu.ops.scatter import scatter_mean_grid, scatter_mean_planes
@@ -31,6 +31,17 @@ def voxel_lattice_points(shape, dtype=jnp.float32):
     axes = [jnp.linspace(-0.5, 0.5, n, dtype=dtype) for n in shape]
     grids = jnp.meshgrid(*axes, indexing="ij")
     return jnp.stack(grids, axis=-1)
+
+
+def axis_mean_planes(feat, plane_types):
+    """Exact static-lattice pooling: mean over the dropped voxel axis, spatial
+    axes swapped to the reference's (row=second, col=first) plane layout.
+    Shared by the encoder's lattice_exact path and the stage profiler."""
+    reductions = {"xz": 2, "xy": 3, "yz": 1}
+    return {
+        t: feat.mean(axis=reductions[t]).transpose(0, 2, 1, 3)
+        for t in plane_types
+    }
 
 
 class TriplaneVoxelEncoder(nn.Module):
@@ -63,14 +74,10 @@ class TriplaneVoxelEncoder(nn.Module):
             cfg.padding == 0.0
             and in_res == (cfg.plane_resolution,) * 3
         )
-        planes = {}
         if lattice_exact:
-            # mean over the dropped axis, then swap spatial axes to (row, col)
-            reductions = {"xz": 2, "xy": 3, "yz": 1}
-            for t in cfg.plane_types:
-                p = feat.mean(axis=reductions[t])
-                planes[t] = p.transpose(0, 2, 1, 3)
+            planes = axis_mean_planes(feat, cfg.plane_types)
         else:
+            planes = {}
             pts = voxel_lattice_points(in_res)
             pts = jnp.broadcast_to(pts[None], (B,) + pts.shape)
             flat_feat = feat.reshape(B, -1, cfg.c_dim)

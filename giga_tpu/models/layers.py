@@ -179,9 +179,11 @@ class ZBandedConvStem(nn.Module):
     fp32 encode. Treating the (B, X, Y, Z) volume as a 2D image with Z
     channels and convolving with a z-banded (k, k, Z, Z*C) kernel raises the
     contraction depth to k^2*Z (=360) for k^2*Z/k^3 = Z/k times the (cheap)
-    FLOPs. Numerically exact: the off-band kernel entries are zero, and
-    accumulating exact zeros cannot change an fp sum; the zero band also
-    reproduces the conv3d's zero padding along z.
+    FLOPs. The off-band kernel entries are exact zeros (also reproducing the
+    conv3d's zero padding along z), so the two forms compute the same
+    nonzero partial products and agree to fp rounding — the reduction order
+    differs between lowerings, so expect ~1e-6 reassociation noise, not
+    bit-equality (tests pin 2e-6).
 
     Parameter tree is identical to ``TorchConv(name=...)`` — a "conv"
     submodule holding kernel (k, k, k, 1, C) + bias — so checkpoints and the

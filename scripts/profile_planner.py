@@ -69,6 +69,7 @@ def main() -> None:
     @jax.jit
     def stage_conv_stem(params, tsdf):
         """Conv stem + axis-mean pooling only (encoder minus the U-Net)."""
+        from giga_tpu.models.encoder import axis_mean_planes
         from giga_tpu.models.layers import ZBandedConvStem
 
         with prec():
@@ -80,10 +81,7 @@ def main() -> None:
                     {"params": conv_p}, x
                 )
             )
-            return {
-                t_: feat.mean(axis=ax).transpose(0, 2, 1, 3)
-                for t_, ax in (("xz", 2), ("xy", 3), ("yz", 1))
-            }
+            return axis_mean_planes(feat, cfg.encoder.plane_types)
 
     @jax.jit
     def stage_encode(params, tsdf):
