@@ -51,6 +51,15 @@ def crop_plane_indices(points, input_vol, reso: int):
     return out
 
 
+def crop_grid_indices(points, input_vol, reso: int):
+    """Flat 3D cell ids for the crop encoder's 'grid' branch: the grid is
+    laid out [z, y, x, c] (matching scatter_mean_grid / sample_grid), so
+    flat id = iz * reso^2 + iy * reso + ix on crop-normalized coords."""
+    u = normalize_coord(points, input_vol, "grid")  # (..., T, 3) in [0, 1]
+    cell = jnp.clip((u * reso).astype(jnp.int32), 0, reso - 1)
+    return cell[..., 2] * reso * reso + cell[..., 1] * reso + cell[..., 0]
+
+
 def crop_query_coords(query, input_vol):
     """Crop-normalized per-plane query coords for PatchLocalDecoder.
 

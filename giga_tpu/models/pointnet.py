@@ -19,6 +19,7 @@ import flax.linen as nn
 from giga_tpu.core.config import EncoderConfig
 from giga_tpu.models.layers import ResnetBlockFC, TorchDense
 from giga_tpu.models.unet2d import UNet2D
+from giga_tpu.models.unet3d import UNet3D
 from giga_tpu.ops.scatter import grid_index, plane_index, scatter_mean_grid, scatter_mean_planes, segment_max, segment_mean
 
 
@@ -52,7 +53,9 @@ class PatchLocalPoolPointnet(nn.Module):
         def pool_local(feat):
             out = 0
             for key, idx in index.items():
-                n_cells = reso * reso if key != "grid" else reso**3
+                n_cells = (
+                    cfg.grid_resolution**3 if key == "grid" else reso * reso
+                )
 
                 def one(f, i):
                     if self.scatter_type == "max":
@@ -74,17 +77,34 @@ class PatchLocalPoolPointnet(nn.Module):
         c = TorchDense(cfg.c_dim, name="fc_c")(net)
 
         fea = {}
-        order = [t for t in ("xz", "xy", "yz") if t in index]
-        planes = []
-        for t in order:
-            def one(ci, ii):
-                return segment_mean(ci, ii, reso * reso).reshape(reso, reso, -1)
+        if "grid" in index:
+            # reference generate_grid_features (pointnet.py:250-263): mean
+            # scatter to the reso_grid^3 lattice ([z, y, x, c] layout) + 3D
+            # U-Net refinement
+            greso = cfg.grid_resolution
 
-            planes.append(jax.vmap(one)(c, index[t]))
-        stacked = jnp.concatenate(planes, axis=0)
-        refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
-        for t, ch in zip(order, jnp.split(refined, len(order), axis=0)):
-            fea[t] = ch
+            def one_grid(ci, ii):
+                return segment_mean(ci, ii, greso**3).reshape(
+                    greso, greso, greso, -1
+                )
+
+            grid = jax.vmap(one_grid)(c, index["grid"])
+            fea["grid"] = UNet3D(cfg.c_dim, cfg.unet3d.f_maps,
+                                 cfg.unet3d.num_levels, cfg.unet3d.num_groups,
+                                 name="unet3d")(grid)
+
+        order = [t for t in ("xz", "xy", "yz") if t in index]
+        if order:
+            planes = []
+            for t in order:
+                def one(ci, ii):
+                    return segment_mean(ci, ii, reso * reso).reshape(reso, reso, -1)
+
+                planes.append(jax.vmap(one)(c, index[t]))
+            stacked = jnp.concatenate(planes, axis=0)
+            refined = UNet2D(cfg.c_dim, cfg.unet, name="unet")(stacked)
+            for t, ch in zip(order, jnp.split(refined, len(order), axis=0)):
+                fea[t] = ch
         return fea
 
 

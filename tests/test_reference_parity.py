@@ -456,3 +456,57 @@ class TestPatchEncoderParity:
         for t in ("xz", "xy", "yz"):
             ours = np.asarray(fea[t])[0].transpose(2, 0, 1)  # (C, H, W)
             np.testing.assert_allclose(ours, gold[t][0].numpy(), atol=1e-4)
+
+    def test_patch_local_pool_pointnet_grid_branch(self, ref):
+        """Crop encoder 'grid' branch (scatter to reso_grid^3 + 3D U-Net) vs
+        the reference's own module."""
+        import importlib
+
+        pnet_mod = importlib.import_module("vgn.ConvONets.encoder.pointnet")
+        common = importlib.import_module("vgn.ConvONets.common")
+
+        greso, cdim, hid, nb = 8, 16, 16, 2
+        torch.manual_seed(31)
+        golden = pnet_mod.PatchLocalPoolPointnet(
+            c_dim=cdim, dim=3, hidden_dim=hid, scatter_type="max",
+            unet=False, unet3d=True,
+            unet3d_kwargs={"num_levels": 2, "f_maps": 8, "num_groups": 4,
+                           "in_channels": cdim, "out_channels": cdim},
+            grid_resolution=greso, plane_type=["grid"], n_blocks=nb,
+            local_coord=True, unit_size=0.1, pos_encoding="linear",
+        )
+        with torch.no_grad():
+            for prm in golden.parameters():
+                prm.data = torch.randn_like(prm) * 0.2
+
+        rng = np.random.RandomState(32)
+        T = 128
+        lo = np.zeros(3, np.float32)
+        hi = np.ones(3, np.float32)
+        pts = rng.uniform(lo, hi, (T, 3)).astype(np.float32)
+
+        idx = common.coord2index(
+            torch.from_numpy(pts.copy()), np.stack((lo, hi)), reso=greso,
+            plane="grid",
+        )
+        with torch.no_grad():
+            gold = golden({"points": torch.from_numpy(pts[None]),
+                           "index": {"grid": idx[None]}})["grid"][0].numpy()
+
+        from giga_tpu.core.config import EncoderConfig, UNet3DConfig
+        from giga_tpu.models.crop import crop_grid_indices
+        from giga_tpu.models.pointnet import PatchLocalPoolPointnet
+        from giga_tpu.models.torch_convert import convert_pointnet_state_dict
+
+        mine = PatchLocalPoolPointnet(
+            EncoderConfig(c_dim=cdim, grid_resolution=greso,
+                          unet3d=UNet3DConfig(f_maps=8, num_levels=2,
+                                              num_groups=4)),
+            hidden_dim=hid, n_blocks=nb, scatter_type="max",
+            local_coord=True, unit_size=0.1, pos_encoding="linear",
+        )
+        params = convert_pointnet_state_dict(golden.state_dict(), n_blocks=nb)
+        my_index = {"grid": crop_grid_indices(jnp.asarray(pts[None]), (lo, hi), greso)}
+        fea = mine.apply(params, jnp.asarray(pts[None]), my_index)
+        ours = np.asarray(fea["grid"])[0].transpose(3, 0, 1, 2)  # (C, z, y, x)
+        np.testing.assert_allclose(ours, gold, atol=1e-4)
