@@ -60,12 +60,12 @@ def crop_grid_indices(points, input_vol, reso: int):
     return cell[..., 2] * reso * reso + cell[..., 1] * reso + cell[..., 0]
 
 
-def crop_query_coords(query, input_vol):
+def crop_query_coords(query, input_vol, plane_types=PLANE_TYPES):
     """Crop-normalized per-plane query coords for PatchLocalDecoder.
 
-    Returns {plane_type: (..., N, 2)} in [0, 1].
+    Returns {plane_type: (..., N, 2)} in [0, 1] ((..., N, 3) for 'grid').
     """
-    return {t: normalize_coord(query, input_vol, t) for t in PLANE_TYPES}
+    return {t: normalize_coord(query, input_vol, t) for t in plane_types}
 
 
 class CropOccupancyNet(nn.Module):

@@ -150,9 +150,34 @@ class PatchLocalDecoder(nn.Module):
             bot = plane[y0 + 1, x0] * (1 - wx) + plane[y0 + 1, x0 + 1] * wx
             return top * (1 - wy) + bot * wy
 
+        def sample_normalized_grid(grid, u):
+            """Trilinear sample of a [z, y, x, c] grid with coords in [0, 1]
+            (reference sample_feature fea_type='3d': grid_sample on the
+            (x, y, z) -> (W, H, D) axis mapping, border clamp)."""
+            D, H, W, _ = grid.shape
+            fx = jnp.clip(u[:, 0] * (W - 1), 0.0, W - 1)
+            fy = jnp.clip(u[:, 1] * (H - 1), 0.0, H - 1)
+            fz = jnp.clip(u[:, 2] * (D - 1), 0.0, D - 1)
+            x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2)
+            y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2)
+            z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, D - 2)
+            wx = (fx - x0)[:, None]
+            wy = (fy - y0)[:, None]
+            wz = (fz - z0)[:, None]
+
+            def face(z):
+                top = grid[z, y0, x0] * (1 - wx) + grid[z, y0, x0 + 1] * wx
+                bot = grid[z, y0 + 1, x0] * (1 - wx) + grid[z, y0 + 1, x0 + 1] * wx
+                return top * (1 - wy) + bot * wy
+
+            return face(z0) * (1 - wz) + face(z0 + 1) * wz
+
         c = 0
         for t, plane in planes.items():
-            c = c + jax.vmap(sample_normalized)(plane, p_n[t])
+            if t == "grid":
+                c = c + jax.vmap(sample_normalized_grid)(plane, p_n[t])
+            else:
+                c = c + jax.vmap(sample_normalized)(plane, p_n[t])
 
         if self.local_coord:
             p = map2local(p, self.unit_size, self.pos_encoding)

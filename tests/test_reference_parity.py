@@ -510,3 +510,46 @@ class TestPatchEncoderParity:
         fea = mine.apply(params, jnp.asarray(pts[None]), my_index)
         ours = np.asarray(fea["grid"])[0].transpose(3, 0, 1, 2)  # (C, z, y, x)
         np.testing.assert_allclose(ours, gold, atol=1e-4)
+
+
+class TestPatchDecoderGridParity:
+    def test_patch_local_decoder_grid_branch(self, ref):
+        """Crop decoder 3D ('grid') feature sampling vs the reference's
+        sample_feature(fea_type='3d') path."""
+        import importlib
+
+        dec_mod = importlib.import_module("vgn.ConvONets.conv_onet.models.decoder")
+        torch.manual_seed(41)
+        golden = dec_mod.PatchLocalDecoder(
+            dim=3, c_dim=16, hidden_size=32, n_blocks=2, local_coord=True,
+            unit_size=0.1, pos_encoding="linear",
+        )
+        with torch.no_grad():
+            for prm in golden.parameters():
+                prm.data = torch.randn_like(prm) * 0.2
+
+        rng = np.random.RandomState(42)
+        D = H = W = 6
+        grid_t = torch.from_numpy(rng.randn(1, 16, D, H, W).astype(np.float32))
+        p = rng.uniform(0.0, 1.0, (1, 48, 3)).astype(np.float32)
+        u = rng.uniform(0.0, 1.0, (1, 48, 3)).astype(np.float32)
+        with torch.no_grad():
+            gold = golden(
+                {"p": torch.from_numpy(p), "p_n": {"grid": torch.from_numpy(u)}},
+                {"grid": grid_t},
+            ).numpy()
+
+        from giga_tpu.core.config import DecoderConfig
+        from giga_tpu.models.decoder import PatchLocalDecoder
+        from giga_tpu.models.torch_convert import convert_patch_decoder_state_dict
+
+        mine = PatchLocalDecoder(
+            DecoderConfig(c_dim=16, hidden_size=32, n_blocks=2), out_dim=1,
+            local_coord=True, unit_size=0.1, pos_encoding="linear",
+        )
+        params = convert_patch_decoder_state_dict(golden.state_dict(), n_blocks=2)
+        # torch grid (B, C, D, H, W) -> ours [z, y, x, c]
+        grid_j = jnp.asarray(grid_t.numpy().transpose(0, 2, 3, 4, 1))
+        out = mine.apply(params, jnp.asarray(p), {"grid": jnp.asarray(u)},
+                         {"grid": grid_j})
+        np.testing.assert_allclose(np.asarray(out), gold, atol=ATOL)
