@@ -269,8 +269,7 @@ class MeshGenerator:
                     cfg.decoder.padding,
                 )
             logits = decode_dense_batched(
-                params["params"]["decoder_occ"], feats, coords,
-                cfg.decoder.n_blocks,
+                dec_params, feats, coords, cfg.decoder.n_blocks,
             )[0, ..., 0]
             return jax.vmap(band_one)(logits)
 

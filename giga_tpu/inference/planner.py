@@ -112,7 +112,7 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
 
                 qual, rot, width = decode_affordance_dense_pallas(
                     p["decoder_aff"], feats, coords, n_blocks,
-                    compute_dtype=jnp.bfloat16 if dtype is not None else jnp.float32,
+                    compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32,
                 )
             else:
                 qual, rot, width = decode_affordance_dense(
@@ -191,7 +191,7 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
 
                 qual, rot, width = decode_affordance_dense_pallas_batched(
                     p["decoder_aff"], feats, coords, n_blocks,
-                    compute_dtype=jnp.bfloat16 if dtype is not None else jnp.float32,
+                    compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32,
                 )
             else:
                 qual, rot, width = decode_affordance_dense_batched(
@@ -439,6 +439,9 @@ class VGNPlanner:
             force_detection=force_detection,
             best=best,
             max_grasps=max_grasps,
+            # wider NMS when visualizing, like the reference
+            # (detection.py:60 max_filter_size=8 if visualize)
+            max_filter_size=8 if visualize else 4,
         )
         self.size = size
         self.rng = rng if rng is not None else np.random

@@ -128,13 +128,24 @@ class CropGenerator:
         self.threshold = threshold
         self.rng = rng if rng is not None else np.random.RandomState(0)
         reso = net.cfg.plane_resolution
+        # feature types the encoder will emit: 2D planes, plus the 3D 'grid'
+        # branch when configured (reference generation.py:260-297 wires both)
+        plane_types = tuple(t for t in PLANE_TYPES if t in net.cfg.plane_types)
+        query_types = plane_types + (
+            ("grid",) if "grid" in net.cfg.plane_types else ()
+        )
 
         def encode(params, points, lo, hi):
             index = crop_plane_indices(points, (lo, hi), reso)
+            index = {t: index[t] for t in plane_types}
+            if "grid" in net.cfg.plane_types:
+                index["grid"] = crop_grid_indices(
+                    points, (lo, hi), net.cfg.grid_resolution
+                )
             return net.apply(params, points, index, method="encode")
 
         def decode(params, planes, q, lo, hi):
-            q_n = crop_query_coords(q, (lo, hi))
+            q_n = crop_query_coords(q, (lo, hi), plane_types=query_types)
             return net.apply(params, planes, q, q_n, method="decode")
 
         self._encode = jax.jit(encode)

@@ -290,7 +290,7 @@ class Trainer:
                 self._log_tensorboard(epoch, train_metrics, val_metrics)
                 self._checkpoint(state, val_metrics, epoch)
         if self.tb_writer is not None:
-            self.tb_writer.flush()
+            self.tb_writer.close()  # guards double-close; releases the event file
         return state, history
 
     def _score(self, val_metrics):

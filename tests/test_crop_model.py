@@ -147,3 +147,42 @@ class TestLearnedCropReconstruction:
         # reconstructed surface should hug the sphere
         d = np.abs(np.linalg.norm(rec.vertices - np.array([0.2, 0.2, 0.2]), axis=1) - 0.12)
         assert np.median(d) < 0.03, f"median surface error {np.median(d):.4f}"
+
+
+class TestCropGeneratorGridWiring:
+    """A grid-configured crop model must actually exercise the 3D branch
+    through CropGenerator (round-3 fix: grid indices/query coords are wired,
+    not silently dropped)."""
+
+    def test_grid_branch_flows_through_generator(self):
+        from giga_tpu.core.config import UNet3DConfig
+
+        reso, greso, T, N = 8, 8, 64, 32
+        net = CropOccupancyNet(
+            EncoderConfig(
+                c_dim=16, plane_resolution=reso,
+                plane_types=("grid",), grid_resolution=greso,
+                unet3d=UNet3DConfig(f_maps=8, num_levels=2, num_groups=2),
+            ),
+            hidden_dim=16, n_blocks=2, unit_size=0.05,
+        )
+        gen = CropGenerator.__new__(CropGenerator)
+        CropGenerator.__init__(gen, net, params=None, n_crop_points=T,
+                               resolution=8)
+        r = np.random.RandomState(0)
+        pts = r.uniform(0.0, 0.4, (200, 3)).astype(np.float32)
+        vol = (np.zeros(3, np.float32), np.full(3, 0.4, np.float32))
+
+        # init params through the same wiring the generator uses
+        from giga_tpu.models.crop import crop_grid_indices
+        p0 = jnp.asarray(pts[:T][None])
+        idx = {"grid": crop_grid_indices(p0, vol, greso)}
+        q0 = jnp.asarray(r.uniform(0, 0.4, (1, N, 3)), jnp.float32)
+        q_n = crop_query_coords(q0, vol, plane_types=("grid",))
+        gen.params = net.init(jax.random.PRNGKey(0), p0, idx, q0, q_n)
+
+        planes = gen._encode_crop(pts, vol)
+        assert set(planes.keys()) == {"grid"}
+        assert planes["grid"].ndim == 5  # (B, D, H, W, C)
+        logits = gen._eval_crop(planes, np.asarray(q0[0]), vol)
+        assert logits.shape == (N,) and np.all(np.isfinite(logits))

@@ -194,3 +194,24 @@ class TestPlannerEndToEnd:
         for g in grasps:
             assert g.pose.translation.shape == (3,)
             assert 0 <= g.width
+
+
+class TestNMSWindowRule:
+    """Both planners widen the NMS max-filter to 8 under visualize=True,
+    matching the reference (detection.py:60, detection_implicit.py:59)."""
+
+    def test_giga_planner_nms_window(self, giga_net_params):
+        net, cfg, params = giga_net_params
+        mk = lambda viz: GIGAPlanner(net=net, model_cfg=cfg, params=params,
+                                     visualize=viz)
+        assert mk(False).planner_cfg.max_filter_size == 4
+        assert mk(True).planner_cfg.max_filter_size == 8
+
+    def test_vgn_planner_nms_window(self):
+        from giga_tpu.inference.planner import VGNPlanner
+
+        vgn_net, _ = get_network("vgn")
+        vgn_params = vgn_net.init(jax.random.PRNGKey(1), jnp.zeros((1, 40, 40, 40)))
+        mk = lambda viz: VGNPlanner(net=vgn_net, params=vgn_params, visualize=viz)
+        assert mk(False).planner_cfg.max_filter_size == 4
+        assert mk(True).planner_cfg.max_filter_size == 8
