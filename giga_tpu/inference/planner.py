@@ -376,6 +376,45 @@ class GIGAPlanner:
             return grasps, scores, toc, composed
         return grasps, scores, toc
 
+    def plan_stream(self, tsdf_grids, process_grids=None):
+        """Latency-hiding single-scene streaming over a sequence of scenes.
+
+        Issues scene i's (async) device program before fetching scene i-1's
+        candidates, so device execution and the result transfer of the
+        previous scene overlap the next dispatch — double buffering through
+        the dispatch queue. Every scene's result is host-fetched (honest
+        accounting); outputs are identical to calling the planner per scene.
+
+        Args:
+            tsdf_grids: iterable of (R, R, R) or (1, R, R, R) grids.
+        Returns:
+            list of (grasps, scores) per scene, in input order.
+        """
+        pending = []  # (device candidates,) not yet fetched; depth <= 1
+        out = []
+
+        def drain():
+            cands = jax.device_get(pending.pop(0))
+            out.append(
+                candidates_to_grasps(
+                    cands, scale=self.size, offset=0.5, width_scale=self.size,
+                    best=self.planner_cfg.best, rng=self.rng,
+                )
+            )
+
+        for grid in tsdf_grids:
+            g = jnp.asarray(np.asarray(grid, np.float32).reshape(
+                np.asarray(grid).shape[-3:]))
+            p = g if process_grids is None else jnp.asarray(
+                np.asarray(process_grids[len(out) + len(pending)], np.float32))
+            cands, _ = self._fn(self.params, g, p)
+            pending.append(cands)
+            if len(pending) > 1:
+                drain()
+        while pending:
+            drain()
+        return out
+
     def plan_batch(self, tsdf_grids: np.ndarray, process_grids=None):
         """Serving-throughput path: plan a whole batch of scenes at once.
 

@@ -32,6 +32,14 @@ import pytest  # noqa: E402
 SIM_URDF_ROOT = REPO_ROOT / "tests" / "fixtures" / "urdfs"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running e2e test (deselect with -m 'not slow' for the "
+        "quick iteration loop; the full invariant suite still runs them)",
+    )
+
+
 @pytest.fixture
 def fake_pb(monkeypatch):
     """Install tests/fake_pybullet as the pybullet module so the sim stack

@@ -31,3 +31,30 @@ def test_plan_batch_matches_sequential():
             np.testing.assert_allclose(a.pose.translation, b.pose.translation, atol=1e-6)
             assert a.width == b.width
         np.testing.assert_allclose(scores_i, bs, atol=1e-6)
+
+
+def test_plan_stream_matches_sequential():
+    """Lag-1 pipelined streaming returns exactly the per-scene results."""
+    import jax.numpy as jnp
+
+    net, cfg = get_network("giga")
+    tsdf0 = jnp.zeros((1, 40, 40, 40))
+    p0 = jnp.zeros((1, 1, 3))
+    params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
+    planner = GIGAPlanner(
+        net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
+        low_th=0.1, qual_th=0.6, rng=np.random.RandomState(0),
+    )
+    rng = np.random.RandomState(3)
+    grids = rng.rand(3, 40, 40, 40).astype(np.float32)
+
+    streamed = planner.plan_stream(list(grids))
+    assert len(streamed) == 3
+    for i in range(3):
+        grasps_i, scores_i, _ = planner(State(tsdf=grids[i][None]))
+        sg, ss = streamed[i]
+        assert len(sg) == len(grasps_i)
+        for a, b in zip(grasps_i, sg):
+            np.testing.assert_allclose(a.pose.translation, b.pose.translation, atol=1e-6)
+            assert a.width == b.width
+        np.testing.assert_allclose(scores_i, ss, atol=1e-6)
