@@ -120,7 +120,8 @@ def _step_metrics(cfg, out, batch) -> dict:
     return classification_metrics(out["qual"], batch["label"])
 
 
-def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None):
+def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None,
+                    assemble=None):
     """Jitted SGD step. With a mesh, batch sharded / state replicated.
 
     ``dtype=jnp.bfloat16`` selects mixed precision: master params, optimizer
@@ -128,6 +129,12 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None):
     with bf16-cast params and inputs (the MXU's native precision). Losses are
     reduced in fp32. Default (None) pins fp32-highest matmuls for parity with
     the torch reference's training numerics.
+
+    ``assemble``: optional jit-traceable ``(corpus, sel) -> batch`` hook. When
+    given, the returned step has signature ``step(state, corpus, sel)`` and
+    batch gather/augmentation runs ON DEVICE inside the same program (the
+    device-resident corpus pipeline, train/corpus.py) — the host ships only
+    the tiny ``sel`` index arrays per step.
     """
     loss_fn = make_loss_fn(net, cfg)
 
@@ -162,6 +169,22 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None):
         state = state.apply_gradients(grads=grads)
         terms = {**terms, **_step_metrics(cfg, out, batch)}
         return state, terms
+
+    if assemble is not None:
+        def corpus_step(state, corpus, sel):
+            return step(state, assemble(corpus, sel))
+        if mesh is None:
+            return jax.jit(corpus_step, donate_argnums=0)
+        repl = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P(axis))
+        # corpus replicated (every device holds the dataset; each gathers its
+        # own sel shard), sel batch-sharded over dp
+        return jax.jit(
+            corpus_step,
+            donate_argnums=0,
+            in_shardings=(repl, repl, sharded),
+            out_shardings=(repl, repl),
+        )
 
     if mesh is None:
         return jax.jit(step, donate_argnums=0)

@@ -1,0 +1,123 @@
+"""Train GIGA on a pre-built synthetic corpus with the device-resident
+pipeline, periodically challenge the incumbent with the grasp oracle, and
+keep the best checkpoint.
+
+The round-3 quality push (VERDICT r2 #3): 10x the round-2 training corpus
+(480 scenes x 160 oracle-labeled grasps vs 40x160), trained with exact
+k*90-degree z-rotation augmentation, evaluated wide (>=32 scenes, 2 seeds)
+instead of the noisy 8-scene single-seed round-2 protocol.
+
+Each train step ships only index arrays to the device (train/corpus.py);
+the corpus itself is committed to HBM once. On this tunnel that's the
+difference between ~200 ms/step of transfer and a compute-bound step.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from giga_tpu.models.registry import get_network, save_params
+from giga_tpu.train.corpus import (
+    CorpusSampler,
+    assemble_batch,
+    device_corpus,
+    load_corpus,
+)
+from giga_tpu.train.trainer import create_train_state, make_train_step
+
+
+def oracle_eval(params, n_scenes, seed, top_k=5, qual_th=0.8):
+    """Fresh-scene GSR via the geometric oracle (eval_synthetic_gsr protocol)."""
+    from giga_tpu.inference.planner import GIGAPlanner, State
+    from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+    from giga_tpu.utils.synthetic_grasps import evaluate_grasp
+
+    net, cfg = get_network("giga")
+    planner = GIGAPlanner(
+        net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
+        low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
+    )
+    rng = np.random.RandomState(seed)
+    labels = []
+    for _ in range(n_scenes):
+        mesh = random_scene(rng, 0.3)
+        tsdf = mesh_to_tsdf(mesh, 0.3, 40, rng=rng)
+        grasps, _, _ = planner(State(tsdf=tsdf[None]))
+        surf, _ = mesh.sample_surface(20000, rng=rng)
+        labels += [evaluate_grasp(mesh, surf, g.pose, rng)[0] for g in grasps[:top_k]]
+    return 100.0 * float(np.mean(labels)) if labels else 0.0
+
+
+def main(args):
+    corpus_np = load_corpus(args.corpus)
+    n_scenes = corpus_np["tsdf"].shape[0]
+    print(f"corpus: {n_scenes} scenes, "
+          f"{corpus_np['grasp_label'].shape[1]} grasps/scene, "
+          f"positive fraction {corpus_np['grasp_label'].mean():.3f}", flush=True)
+
+    net, cfg = get_network("giga")
+    import optax
+
+    lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(args.seed), lr=lr,
+                               clip_norm=1.0, skip_nonfinite=True)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    step = make_train_step(net, cfg, dtype=dtype, assemble=assemble_batch)
+
+    corpus = device_corpus(corpus_np)
+    sampler = CorpusSampler(corpus_np, np.arange(n_scenes), args.batch,
+                            args.batch_occ, seed=args.seed,
+                            augment=not args.no_augment)
+
+    t0 = time.time()
+    best = (-1.0, None)  # (gsr, params)
+    for it in range(1, args.steps + 1):
+        sel = {k: jnp.asarray(v) for k, v in sampler().items()}
+        state, terms = step(state, corpus, sel)
+        if it % args.log_every == 0 or it == args.steps:
+            loss = float(jax.device_get(terms["loss_all"]))
+            print(f"step {it}: loss {loss:.4f} "
+                  f"({(time.time() - t0) / it * 1e3:.0f} ms/step avg)", flush=True)
+        if it % args.eval_every == 0 or it == args.steps:
+            params = jax.device_get(state.params)
+            gsr = oracle_eval(params, args.eval_scenes, args.eval_seed)
+            mark = ""
+            if gsr > best[0]:
+                best = (gsr, params)
+                mark = " *best*"
+                if args.out:
+                    save_params(params, args.out)
+            print(f"step {it}: oracle GSR {gsr:.1f}% "
+                  f"(top-5 x {args.eval_scenes} scenes){mark}", flush=True)
+    print(f"trained {args.steps} steps in {(time.time() - t0) / 60:.1f} min; "
+          f"best in-training GSR {best[0]:.1f}%")
+    if args.out and best[1] is not None:
+        save_params(best[1], args.out)
+        print(f"saved best params to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", type=str, default="data/corpus")
+    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch-occ", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--log-every", type=int, default=200)
+    p.add_argument("--eval-every", type=int, default=1500)
+    p.add_argument("--eval-scenes", type=int, default=12)
+    p.add_argument("--eval-seed", type=int, default=1000)
+    p.add_argument("--out", type=str, default="checkpoints/corpus_giga.msgpack")
+    raise SystemExit(main(p.parse_args()))
