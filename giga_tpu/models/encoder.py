@@ -114,3 +114,31 @@ class TriplaneVoxelEncoder(nn.Module):
             )
         return UNet3D(cfg.c_dim, cfg.unet3d.f_maps, cfg.unet3d.num_levels,
                       cfg.unet3d.num_groups, name="unet3d")(grid)
+
+
+class GlobalVoxelEncoder(nn.Module):
+    """Global-latent voxel encoder (reference: ConvONets/encoder/voxels.py:123-156).
+
+    A strided Conv3d pyramid (1->32->64->128->256->512, k3 s2 p1) collapsing
+    the volume to a 2^3 feature block, then FC to a single ``c_dim`` latent
+    code per scene — the ConvONet *global* conditioning variant, in contrast
+    to the local triplane/grid encoders above. Unused by the four shipped
+    GIGA presets but part of the reference's encoder zoo. Channels-last
+    (B, X, Y, Z, C) layout; explicit (1, 1) padding reproduces torch's
+    Conv3d(padding=1, stride=2) output geometry exactly.
+    """
+
+    c_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 5:  # tolerate a leading (B, 1, R, R, R) channel axis
+            x = x[:, 0]
+        h = x[..., None]
+        pad = [(1, 1)] * 3
+        h = nn.Conv(32, (3, 3, 3), padding=pad, name="conv_in")(h)
+        for i, ch in enumerate((64, 128, 256, 512)):
+            h = nn.Conv(ch, (3, 3, 3), strides=(2, 2, 2), padding=pad,
+                        name=f"conv_{i}")(nn.relu(h))
+        h = nn.relu(h).reshape(x.shape[0], -1)
+        return nn.Dense(self.c_dim, name="fc")(h)

@@ -220,3 +220,21 @@ def convert_torch_checkpoint(path, cfg):
     if isinstance(cfg, VGNConfig):
         return convert_vgn_state_dict(sd)
     return convert_giga_state_dict(sd, cfg)
+
+
+def convert_global_voxel_encoder_state_dict(sd: dict) -> dict:
+    """Reference VoxelEncoder (voxels.py:123-156) -> GlobalVoxelEncoder tree.
+
+    The final FC consumes torch's channel-major flatten of the (B, 512, 2, 2,
+    2) block; our channels-last flatten is (d, h, w, c)-major, so the FC
+    weight rows are permuted to match.
+    """
+    sd = _to_numpy(sd)
+    params = {"conv_in": _conv3d(sd, "conv_in")}
+    for i in range(4):
+        params[f"conv_{i}"] = _conv3d(sd, f"conv_{i}")
+    w = sd["fc.weight"]  # (c_dim, 512 * 2 * 2 * 2), rows (c, d, h, w)-major
+    c_dim = w.shape[0]
+    w = w.reshape(c_dim, 512, 2, 2, 2).transpose(2, 3, 4, 1, 0).reshape(-1, c_dim)
+    params["fc"] = {"kernel": w, "bias": sd["fc.bias"]}
+    return {"params": params}

@@ -199,6 +199,30 @@ class TestGridVariantParity:
         )
 
 
+class TestGlobalVoxelEncoderParity:
+    """GlobalVoxelEncoder vs the reference's VoxelEncoder (the global-latent
+    conv pyramid, ConvONets/encoder/voxels.py:123-156)."""
+
+    def test_global_voxel_encoder(self, ref):
+        from vgn.ConvONets.encoder.voxels import VoxelEncoder as RefVoxelEncoder
+
+        from giga_tpu.models.encoder import GlobalVoxelEncoder
+        from giga_tpu.models.torch_convert import (
+            _to_numpy,
+            convert_global_voxel_encoder_state_dict,
+        )
+
+        torch.manual_seed(7)
+        golden = RefVoxelEncoder(c_dim=64).eval()
+        params = convert_global_voxel_encoder_state_dict(_to_numpy(golden.state_dict()))
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 32, 32, 32).astype(np.float32)  # R=32 -> 2^3 block
+        with torch.no_grad():
+            gold = golden(torch.from_numpy(x)).numpy()
+        ours = GlobalVoxelEncoder(c_dim=64).apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ours), gold, atol=2e-4)
+
+
 class TestPointnetParity:
     """LocalPoolPointnet vs the reference's actual module (pointnet.py:11-157),
     both the triplane(+2D U-Net) and grid(+3D U-Net) variants, through the
