@@ -64,6 +64,12 @@ class MeshGenerator:
         assert precision in ("fp32", "bf16"), precision
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.band_cells = 49152  # static device->host band buffer (cells)
+        # device-refine budgets: active coarse cells (dilated surface shell at
+        # final/2; measured ~1% straddle x ~3 from dilation at 128^3) and
+        # straddling fine cells (surface shell at final, ~4x the coarse band)
+        c_cells = final_res // 2 + 2  # padded coarse cells per axis
+        self.refine_coarse_cells = min(65536, c_cells**3)
+        self.refine_fine_cells = min(131072, 8 * self.refine_coarse_cells)
         self._planes = None
         # jitted once: unjitted apply would dispatch op-by-op (very slow on
         # remote accelerators); chunk padding keeps shapes reusable
@@ -79,6 +85,10 @@ class MeshGenerator:
         )
         self._dense = jax.jit(self._build_dense_eval(final_res + 1))
         self._band = jax.jit(self._build_band_eval(final_res + 1))
+        self._refine_band = (
+            jax.jit(self._build_refine_band_eval())
+            if upsampling_steps >= 1 and final_res % 2 == 0 else None
+        )
         self._jit_cache = {}
 
     def _build_dense_eval(self, n: int):
@@ -164,6 +174,144 @@ class MeshGenerator:
             return idx.astype(jnp.int32), vals.astype(jnp.float16), count
 
         return band
+
+    def _build_refine_band_eval(self):
+        """One-level hierarchical surface refinement as a SINGLE device
+        program (role of the reference's MISE octree, mise.pyx:33-44, driven
+        by generation.py:126-142).
+
+        TPU-first redesign: the incremental octree becomes three fixed-shape
+        stages fused into one XLA program — (1) dense coarse decode at
+        final/2 with the lattice-factorized trunk, (2) compaction of the
+        dilated straddle-cell shell into a static (K_c,) buffer, (3) sparse
+        decode of each active cell's 3x3x3 fine-lattice stencil
+        (decode_lattice_points: row gathers + the same fused-head FC trunk),
+        emitting the straddling FINE cells in the dense path's compact band
+        format. The host fetches only ~20 B per surface cell; nothing else
+        crosses the link. Returns (fine_cell_ids, fine_corner_vals f16,
+        fine_count, coarse_count) — either count exceeding its budget makes
+        the caller fall back to the exact host path.
+        """
+        import jax
+
+        from giga_tpu.inference.dense_decode import decode_lattice_points
+        from giga_tpu.inference.planner import _lattice_features
+
+        cfg = self.net.cfg
+        final = self.resolution0 * (2 ** self.upsampling_steps)
+        half = final // 2
+        n_c, n_f = half + 1, final + 1  # lattice points per axis
+        C_c = n_c + 1  # padded coarse cells per axis
+        Cf_ax = 2 * C_c  # padded fine cells per axis
+        box_size = 1.0 + self.padding
+        coords_f = jnp.linspace(-box_size / 2, box_size / 2, n_f, dtype=jnp.float32)
+        logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
+        OUT = -6.0e4  # fp16-safe "outside" fill
+        K_c, K_f = self.refine_coarse_cells, self.refine_fine_cells
+        dense_c = self._build_dense_eval(n_c)
+        # static 27-point stencil offsets, x-major (matches v27 reshape)
+        offs = np.stack(
+            np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 3)
+
+        def refine_band(params, planes):
+            # --- stage 1: coarse dense logits on the padded lattice
+            g = jnp.pad(dense_c(params, planes).astype(jnp.float32), 1,
+                        constant_values=OUT)
+            inside = g > logit_th
+            s = None
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        v = inside[dx : C_c + dx, dy : C_c + dy, dz : C_c + dz]
+                        s = v.astype(jnp.int32) if s is None else s + v
+            active = (s > 0) & (s < 8)
+            # dilate by one cell (6-neighborhood, like the host path) so
+            # sub-coarse-cell surface detail survives refinement
+            ap = jnp.pad(active, 1)
+            d = active
+            for ax in range(3):
+                idx_lo = [slice(1, C_c + 1)] * 3
+                idx_hi = [slice(1, C_c + 1)] * 3
+                idx_lo[ax] = slice(0, C_c)
+                idx_hi[ax] = slice(2, C_c + 2)
+                d = d | ap[tuple(idx_lo)] | ap[tuple(idx_hi)]
+            count_c = d.sum(dtype=jnp.int32)
+
+            # --- stage 2: compact active cells to a static buffer
+            (cidx,) = jnp.nonzero(d.reshape(-1), size=K_c, fill_value=0)
+            valid_c = jnp.arange(K_c, dtype=jnp.int32) < count_c
+            cx = cidx // (C_c * C_c)
+            cy = (cidx // C_c) % C_c
+            cz = cidx % C_c
+
+            # --- stage 3: fine 3x3x3 stencils; padded-fine point f = 2c+off,
+            # real fine index u = f - 2 (points outside the box stay OUT)
+            fx = 2 * cx[:, None] + offs[None, :, 0]
+            fy = 2 * cy[:, None] + offs[None, :, 1]
+            fz = 2 * cz[:, None] + offs[None, :, 2]
+            ux, uy, uz = fx - 2, fy - 2, fz - 2
+            inbox = (
+                (ux >= 0) & (ux < n_f) & (uy >= 0) & (uy < n_f)
+                & (uz >= 0) & (uz < n_f)
+            ).reshape(-1)
+            gx = jnp.clip(ux, 0, n_f - 1).reshape(-1)
+            gy = jnp.clip(uy, 0, n_f - 1).reshape(-1)
+            gz = jnp.clip(uz, 0, n_f - 1).reshape(-1)
+
+            p = params["params"]["decoder_occ"]
+            planes_d = {t: v[0] for t, v in planes.items()}
+            if self.compute_dtype is not None:
+                import jax as _jax
+
+                p = _jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
+                planes_d = {
+                    t: v.astype(self.compute_dtype) for t, v in planes_d.items()
+                }
+            feats = _lattice_features(planes_d, coords_f, cfg)
+            vals = decode_lattice_points(
+                p, feats, coords_f, gx, gy, gz, cfg.decoder.n_blocks
+            )[0, :, 0]
+            vals = jnp.where(inbox, vals.astype(jnp.float32), OUT)
+            v27 = vals.reshape(K_c, 3, 3, 3)
+
+            # each coarse cell holds 2x2x2 fine cells; corner bit order
+            # matches the marching kernel (bit 0 -> +x, 1 -> +y, 2 -> +z)
+            corners = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            v27[
+                                :,
+                                (e & 1) + (ci & 1),
+                                ((e >> 1) & 1) + ((ci >> 1) & 1),
+                                ((e >> 2) & 1) + ((ci >> 2) & 1),
+                            ]
+                            for ci in range(8)
+                        ],
+                        axis=-1,
+                    )
+                    for e in range(8)
+                ],
+                axis=1,
+            )  # (K_c, 8 fine cells, 8 corners)
+            ncorn = (corners > logit_th).sum(-1)
+            strad = (ncorn > 0) & (ncorn < 8) & valid_c[:, None]
+            flatf = strad.reshape(-1)
+            count_f = flatf.sum(dtype=jnp.int32)
+            (fsel,) = jnp.nonzero(flatf, size=K_f, fill_value=0)
+            cell_of = fsel // 8
+            e = fsel % 8
+            fcx = 2 * cx[cell_of] + (e & 1)
+            fcy = 2 * cy[cell_of] + ((e >> 1) & 1)
+            fcz = 2 * cz[cell_of] + ((e >> 2) & 1)
+            ids = (fcx * Cf_ax + fcy) * Cf_ax + fcz
+            vals8 = corners.reshape(-1, 8)[fsel]
+            return (ids.astype(jnp.int32), vals8.astype(jnp.float16),
+                    count_f, count_c)
+
+        return refine_band
 
     def encode(self, tsdf_grid: np.ndarray):
         """(R, R, R) or (1, R, R, R) TSDF -> cached feature planes."""
@@ -352,18 +500,41 @@ class MeshGenerator:
                 stats["time (eval points)"] = time.time() - t0
                 mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
         else:
-            t0 = time.time()
+            from giga_tpu.geometry.native import get_lib
 
-            def eval_fn(frac_points):
-                # fractions in [0, 1] -> box coords in [-box/2, box/2]
-                p = box_size * (frac_points.astype(np.float32) - 0.5)
-                return self.eval_occ_logits(p)
+            mesh = None
+            if (self._refine_band is not None and get_lib() is not None
+                    and "grid" not in self._planes):
+                import jax
 
-            value_grid = refine_grid(
-                eval_fn, self.resolution0, self.upsampling_steps, logit_th
-            )
-            stats["time (eval points)"] = time.time() - t0
-            mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
+                t0 = time.time()
+                ids, vals, count_f, count_c = jax.device_get(
+                    self._refine_band(self.params, self._planes)
+                )
+                if (int(count_c) <= self.refine_coarse_cells
+                        and int(count_f) <= self.refine_fine_cells):
+                    stats["time (eval points)"] = time.time() - t0
+                    stats["refine (device)"] = True
+                    stats["refine cells (coarse/fine)"] = (
+                        int(count_c), int(count_f)
+                    )
+                    cf = int(count_f)
+                    mesh = self._mesh_from_refine_band(
+                        ids[:cf], vals[:cf], logit_th, box_size, stats
+                    )
+            if mesh is None:  # budget overflow or unsupported: exact host path
+                t0 = time.time()
+
+                def eval_fn(frac_points):
+                    # fractions in [0, 1] -> box coords in [-box/2, box/2]
+                    p = box_size * (frac_points.astype(np.float32) - 0.5)
+                    return self.eval_occ_logits(p)
+
+                value_grid = refine_grid(
+                    eval_fn, self.resolution0, self.upsampling_steps, logit_th
+                )
+                stats["time (eval points)"] = time.time() - t0
+                mesh = self.extract_mesh(value_grid, logit_th, box_size, stats)
 
         if return_stats:
             return mesh, stats
@@ -383,6 +554,26 @@ class MeshGenerator:
         )
         stats["time (marching cubes)"] = time.time() - t0
         verts = (verts - 1.0) / (n - 1)  # undo padding, [0, 1]
+        verts = box_size * (verts - 0.5)
+        return self._postprocess(TriMesh(verts, faces), stats)
+
+    def _mesh_from_refine_band(self, cell_ids, corner_vals, logit_th: float,
+                               box_size: float, stats: dict) -> TriMesh:
+        """Triangulate the device-refined fine band. Fine cell ids live on
+        the doubled padded-coarse lattice: 2*(n_c+1) cells per axis, where
+        padded-fine point f maps to real fine index u = f - 2."""
+        from giga_tpu.geometry.native import marching_tetrahedra_cells
+
+        t0 = time.time()
+        final = self.resolution0 * (2 ** self.upsampling_steps)
+        n_c, n_f = final // 2 + 1, final + 1
+        P_f = 2 * (n_c + 1) + 1  # padded fine lattice points per axis
+        verts, faces = marching_tetrahedra_cells(
+            cell_ids.astype(np.int64), corner_vals.astype(np.float64),
+            (P_f, P_f, P_f), logit_th,
+        )
+        stats["time (marching cubes)"] = time.time() - t0
+        verts = (verts - 2.0) / (n_f - 1)  # undo the 2-point pad, [0, 1]
         verts = box_size * (verts - 0.5)
         return self._postprocess(TriMesh(verts, faces), stats)
 

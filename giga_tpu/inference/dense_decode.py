@@ -179,6 +179,78 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
     return out.reshape(R, R, R, heads, o).transpose(3, 0, 1, 2, 4)
 
 
+def decode_lattice_points(dec_params: dict, feats: dict, coords: jnp.ndarray,
+                          ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray,
+                          n_blocks: int = 5):
+    """Run the stacked decoder at sparse lattice points (index triples).
+
+    The sparse counterpart of ``decode_dense`` for points that lie ON the
+    query lattice but are too few to justify the full R^3 volume: per-plane
+    features are gathered once as (N, C) rows from the 2D lattice maps
+    (each gather reads one contiguous C-float row), then the identical
+    fused-head FC trunk runs on the (N, F) matrix. This is the workhorse of
+    the device-side hierarchical surface refinement
+    (geometry/generation.py; role of the reference's MISE octree,
+    ConvONets/utils/libmise/mise.pyx:33-44).
+
+    Args:
+        feats: {t: (R, R, C)} from ``sample_planes_on_lattice`` (or
+            {'dense': (R, R, R, C)} for the grid variant).
+        ix/iy/iz: (N,) int indices into ``coords`` per axis.
+    Returns:
+        (heads, N, out_dim) raw outputs.
+    """
+    pk, heads, h = _fused_head_weights(dec_params, n_blocks)
+    coords = coords.astype(pk["fc_p_kernel"].dtype)
+    x, y, z = coords[ix], coords[iy], coords[iz]
+    w_p = pk["fc_p_kernel"]  # (3, F)
+    net = (
+        x[:, None] * w_p[0] + y[:, None] * w_p[1] + z[:, None] * w_p[2]
+        + pk["fc_p_bias"]
+    )  # (N, F)
+
+    dense = feats.get("dense")
+    if dense is None:
+        c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+        fxz = feats["xz"][ix, iz]  # (N, C)
+        fxy = feats["xy"][ix, iy]
+        fyz = feats["yz"][iy, iz]
+    else:
+        fd = dense[ix, iy, iz]
+
+    for i in range(n_blocks):
+        w_c = pk[f"fc_c{i}_kernel"]
+        b_c = pk[f"fc_c{i}_bias"]
+        if dense is not None:
+            net = net + jnp.einsum("nc,ch->nh", fd, w_c, precision=HI) + b_c
+        else:
+            w_xz, w_xy, w_yz = (
+                w_c[:c_dim], w_c[c_dim : 2 * c_dim], w_c[2 * c_dim :]
+            )
+            net = (
+                net
+                + jnp.einsum("nc,ch->nh", fxz, w_xz, precision=HI)
+                + jnp.einsum("nc,ch->nh", fxy, w_xy, precision=HI)
+                + jnp.einsum("nc,ch->nh", fyz, w_yz, precision=HI)
+                + b_c
+            )
+        hid = jnp.einsum(
+            "nk,kj->nj", jax.nn.relu(net), pk[f"block{i}_fc0_kernel"],
+            precision=HI,
+        ) + pk[f"block{i}_fc0_bias"]
+        dx = jnp.einsum(
+            "nk,kj->nj", jax.nn.relu(hid), pk[f"block{i}_fc1_kernel"],
+            precision=HI,
+        ) + pk[f"block{i}_fc1_bias"]
+        net = net + dx
+
+    out = jnp.einsum(
+        "nk,ko->no", jax.nn.relu(net), pk["fc_out_kernel"], precision=HI
+    ) + pk["fc_out_bias"]  # (N, heads*o)
+    o = dec_params["fc_out_bias"].shape[-1]
+    return out.reshape(-1, heads, o).transpose(1, 0, 2)
+
+
 def sample_planes_on_lattice_batched(planes: dict, coords: jnp.ndarray, plane_reso: int,
                                      padding: float):
     """Batched lattice sampling: {t: (B, H, W, C)} -> {t: (B, R, R, C)}

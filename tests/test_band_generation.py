@@ -88,7 +88,7 @@ def scene_tsdf():
 
 class TestStrategies:
     def test_dense_matches_refine(self, geo_model, scene_tsdf):
-        """The one-dispatch banded path and the hierarchical host path must
+        """The one-dispatch banded path and the device-refine path must
         produce the same surface (same lattice values near the surface)."""
         net, params = geo_model
         gen_d = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
@@ -96,7 +96,8 @@ class TestStrategies:
         gen_r = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
                               strategy="refine")
         m_d = gen_d.generate_mesh(scene_tsdf, return_stats=False)
-        m_r = gen_r.generate_mesh(scene_tsdf, return_stats=False)
+        m_r, stats = gen_r.generate_mesh(scene_tsdf)
+        assert stats.get("refine (device)"), "device refine path not taken"
         assert len(m_d.vertices) > 0
         # identical triangle counts and vertex sets up to fp16 interpolation
         assert abs(len(m_d.faces) - len(m_r.faces)) <= 0.01 * len(m_r.faces)
@@ -130,6 +131,41 @@ class TestStrategies:
                 np.sort(meshes[b].vertices, axis=0),
                 np.sort(ref.vertices, axis=0), atol=5e-3,
             )
+
+    def test_device_refine_matches_host_refine(self, geo_model, scene_tsdf):
+        """The single-program device refinement reproduces the hierarchical
+        host path's surface (same MISE band assumption, same fine values)."""
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                            strategy="refine")
+        m_dev, stats = gen.generate_mesh(scene_tsdf)
+        assert stats.get("refine (device)")
+        gen._refine_band = None  # force the host refine_grid route
+        m_host = gen.generate_mesh(scene_tsdf, return_stats=False)
+        assert abs(len(m_dev.faces) - len(m_host.faces)) <= 0.01 * len(m_host.faces)
+        from scipy.spatial import cKDTree
+
+        cell = 1.0 / 32
+        d, _ = cKDTree(m_host.vertices).query(m_dev.vertices)
+        assert np.quantile(d, 0.99) < 0.05 * cell
+        assert d.max() < 1.5 * cell
+
+    def test_refine_budget_overflow_falls_back(self, geo_model, scene_tsdf):
+        """Exceeding the fine-cell budget must fall back to the exact host
+        path, not truncate the surface."""
+        import jax
+
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                            strategy="refine")
+        ref = gen.generate_mesh(scene_tsdf, return_stats=False)
+        gen2 = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                             strategy="refine")
+        gen2.refine_fine_cells = 8  # force overflow
+        gen2._refine_band = jax.jit(gen2._build_refine_band_eval())
+        m, stats = gen2.generate_mesh(scene_tsdf)
+        assert not stats.get("refine (device)")
+        assert abs(len(m.faces) - len(ref.faces)) <= 0.01 * len(ref.faces)
 
     def test_band_overflow_falls_back(self, geo_model, scene_tsdf):
         net, params = geo_model
