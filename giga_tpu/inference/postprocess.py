@@ -64,6 +64,35 @@ def bound_quality(qual, voxel_size: float, cfg: PlannerConfig):
     )
 
 
+def _top_k_two_level(flat_scores, k: int):
+    """Exact top-k over (B, N) via segment maxes, for N >> k.
+
+    ``lax.top_k`` sorts all N entries (3.2 ms/batch at B=64, N=64000,
+    k=128 — the single largest postprocess cost, round-3 micro-profile).
+    NMS leaves only a handful of finite scores, so: partition N into
+    segments of ``k``, rank segments by max, gather the top-k segments, and
+    top-k over those k*k entries. Exact: at most k segments can contain
+    top-k elements, and any segment containing one has max >= the k-th
+    element, so it out-ranks every segment containing none. Ties at the
+    k-th value may swap equal-valued candidates (same scores either way).
+
+    Returns (top_scores (B, k), top_idx (B, k) flat indices into N).
+    """
+    B, N = flat_scores.shape
+    if N % k != 0 or N // k <= 2:
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+        return top_scores, top_idx
+    S = N // k
+    seg = flat_scores.reshape(B, S, k)
+    _, seg_sel = jax.lax.top_k(seg.max(axis=-1), k)  # (B, k) segment ids
+    cand = jnp.take_along_axis(seg, seg_sel[..., None], axis=1)  # (B, k, k)
+    top_scores, local = jax.lax.top_k(cand.reshape(B, k * k), k)
+    # flat index = segment_id * k + offset_within_segment
+    seg_of = jnp.take_along_axis(seg_sel, local // k, axis=1)
+    top_idx = seg_of * k + local % k
+    return top_scores, top_idx
+
+
 def select_grasps(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandidates:
     """Threshold + NMS + static top-K (reference select()).
 
@@ -116,7 +145,7 @@ def select_grasps_batched(qual, rot, width, positions, cfg: PlannerConfig) -> Gr
 
     flat_scores = jnp.where(peaks, q, -jnp.inf).reshape(B, -1)
     k = min(cfg.max_grasps, flat_scores.shape[1])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # (B, k)
+    top_scores, top_idx = _top_k_two_level(flat_scores, k)  # (B, k)
     count = jnp.sum(peaks, axis=(1, 2, 3)).astype(jnp.int32)
     count = jnp.where(best_only, jnp.minimum(count, 1), count)
     count = jnp.minimum(count, k)

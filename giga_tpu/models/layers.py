@@ -223,19 +223,29 @@ class ZBandedConvStem(nn.Module):
 
         B, X, Y, Z, _ = x.shape
         img = x[..., 0]  # (B, X, Y, Z) as NHWC with C=Z
-        # banded kernel: k2[kx, ky, zin, zout, c] = kernel[kx, ky, kz, 0, c]
-        # at kz = zin - zout + k//2 (cross-correlation), zero elsewhere
-        k2 = jnp.zeros((k, k, Z, Z, C), kernel.dtype)
         half = k // 2
-        for kz in range(k):
-            zout = jnp.arange(max(0, half - kz), Z - max(0, kz - half))
-            zin = zout + kz - half
-            tap = jnp.broadcast_to(
-                kernel[:, :, kz, 0, :][:, :, None, :], (k, k, len(zout), C)
-            )
-            k2 = k2.at[:, :, zin, zout, :].set(tap)
+        k2 = zbanded_kernel(kernel, Z)
         out = jax.lax.conv_general_dilated(
             img, k2.reshape(k, k, Z, Z * C), (1, 1), [(half, half)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return out.reshape(B, X, Y, Z, C) + bias
+
+
+def zbanded_kernel(kernel, Z: int):
+    """(k, k, k, 1, C) conv3d kernel -> z-banded (k, k, Z, Z, C) 2D kernel:
+    k2[kx, ky, zin, zout, c] = kernel[kx, ky, kz, 0, c] at
+    kz = zin - zout + k//2 (cross-correlation), zero elsewhere — the exact
+    channel-folded form of the conv3d, including its zero z-padding.
+    Shared by ZBandedConvStem and the fused Pallas stem+pool kernel."""
+    k, _, _, _, C = kernel.shape
+    k2 = jnp.zeros((k, k, Z, Z, C), kernel.dtype)
+    half = k // 2
+    for kz in range(k):
+        zout = jnp.arange(max(0, half - kz), Z - max(0, kz - half))
+        zin = zout + kz - half
+        tap = jnp.broadcast_to(
+            kernel[:, :, kz, 0, :][:, :, None, :], (k, k, len(zout), C)
+        )
+        k2 = k2.at[:, :, zin, zout, :].set(tap)
+    return k2

@@ -138,8 +138,112 @@ def fused_dense_decode(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1, wout, bout,
 def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
                           w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
                           out_ref, *, n_blocks: int, compute_dtype):
-    """Per-(scene, x-slab) program; same math as _trunk_kernel with a scene
-    axis on the projection refs."""
+    """Per-(scene, x-slab-group) program; same math as _trunk_kernel with a
+    scene axis on the projection refs. Each program handles SX consecutive
+    x slabs — fewer grid steps and 4x-larger matmul M amortize the per-step
+    overheads (measured ~8% at SX=4 vs SX=1)."""
+    R, F = py_ref.shape
+    SX = px_ref.shape[0]
+    out_dim = out_ref.shape[-1]
+
+    net = (
+        px_ref[:, 0][:, None, None, :]
+        + py_ref[...][None, :, None, :]
+        + pz_ref[...][None, None, :, :]
+    )  # (SX, Ry, Rz, F)
+    for b in range(n_blocks):
+        # projection refs may arrive bf16 (halves the dominant HBM traffic;
+        # see prepare_projections_batched) — accumulate in fp32 regardless.
+        # Cast straight off the load: Mosaic can't shape-cast bf16 vectors,
+        # so the broadcast reshapes must happen on the fp32 values.
+        net = (
+            net
+            + pxz_ref[0, :, b].astype(jnp.float32)[:, None, :, :]
+            + pxy_ref[0, :, b].astype(jnp.float32)[:, :, None, :]
+            + pyz_ref[0, b].astype(jnp.float32)[None, :, :, :]
+        )
+        flat = net.reshape(SX * R * R, F)
+        hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
+        dx = _mm(jax.nn.relu(hidden), w1_ref[b], compute_dtype) + b1_ref[b][None, :]
+        net = (flat + dx).reshape(SX, R, R, F)
+    flat = net.reshape(SX * R * R, F)
+    out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
+    out_ref[0] = out.reshape(SX, R, R, out_dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret", "x_slabs")
+)
+def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
+                               wout, bout, *, n_blocks: int = 5,
+                               compute_dtype=jnp.float32, interpret: bool = False,
+                               x_slabs: int = 8):
+    """Batched fused trunk: grid (B, Rx/x_slabs); the per-scene yz
+    projection stays VMEM-resident across the inner x sweep (index_map
+    depends only on b).
+
+    Shapes: px/py/pz (R, F) shared across scenes;
+    pxz/pxy/pyz (B, n_blocks, R, R, F); weights as in fused_dense_decode.
+    Returns (B, R, R, R, O).
+    """
+    R, F = px.shape
+    B = pxz.shape[0]
+    O = wout.shape[-1]
+    SX = x_slabs if R % x_slabs == 0 else 1
+    kernel = functools.partial(
+        _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype
+    )
+
+    px3 = px[:, None, :]                  # (Rx, 1, F)
+    pxz_t = pxz.transpose(0, 2, 1, 3, 4)  # (B, Rx, nb, Rz, F)
+    pxy_t = pxy.transpose(0, 2, 1, 3, 4)  # (B, Rx, nb, Ry, F)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(B, R // SX),
+        in_specs=[
+            pl.BlockSpec((SX, 1, F), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((R, F)),
+            const((R, F)),
+            pl.BlockSpec((1, SX, n_blocks, R, F), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SX, n_blocks, R, F), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks, R, R, F), lambda b, i: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            const((n_blocks, F, F)),
+            const((n_blocks, F)),
+            const((n_blocks, F, F)),
+            const((n_blocks, F)),
+            const((F, O)),
+            const((1, O)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SX, R, R, O), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, R, R, R, O), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # headroom for the unrolled blocks (v5e has 128 MB of VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(px3, py, pz, pxz_t, pxy_t, pyz, w0, b0, w1, b1, wout, bout)
+
+
+def _trunk_kernel_hybrid(px_ref, py_ref, pz_ref, fxz_ref, fxy_ref, pyz_ref,
+                         wxz_ref, wxy_ref,
+                         w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
+                         out_ref, *, n_blocks: int, compute_dtype):
+    """Per-(scene, x-slab) trunk with HYBRID projection sourcing.
+
+    The projections-precompute kernel ships three (B, nb, R, R, F) tensors
+    through HBM; with bf16 that round trip is still ~2.2 GB/batch and the
+    decode stays bandwidth-bound. Only pyz is slab-INVARIANT (it must be
+    resident across the x sweep) — pxz/pxy enter as single (R, C) raw
+    feature rows and their per-block projections are two tiny (R, C) @
+    (C, F) MXU matmuls per block (~2.5% more passes), cutting the decode's
+    projection traffic by 2/3. fc_c biases are folded into pyz."""
     R, F = py_ref.shape
     out_dim = out_ref.shape[-1]
 
@@ -148,12 +252,16 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
         + py_ref[...][:, None, :]
         + pz_ref[...][None, :, :]
     )  # (Ry, Rz, F)
+    fxz = fxz_ref[0, 0]  # (Rz, C) this x slab's xz-plane features
+    fxy = fxy_ref[0, 0]  # (Ry, C)
     for b in range(n_blocks):
+        rowz = _mm(fxz, wxz_ref[b], compute_dtype)  # (Rz, F)
+        rowy = _mm(fxy, wxy_ref[b], compute_dtype)  # (Ry, F)
         net = (
             net
-            + pxz_ref[0, 0, b][None, :, :]
-            + pxy_ref[0, 0, b][:, None, :]
-            + pyz_ref[0, b]
+            + rowz[None, :, :]
+            + rowy[:, None, :]
+            + pyz_ref[0, b].astype(jnp.float32)
         )
         flat = net.reshape(R * R, F)
         hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
@@ -167,26 +275,25 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret")
 )
-def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
-                               wout, bout, *, n_blocks: int = 5,
-                               compute_dtype=jnp.float32, interpret: bool = False):
-    """Batched fused trunk: grid (B, Rx); the per-scene yz projection stays
-    VMEM-resident across the inner x sweep (index_map depends only on b).
+def fused_dense_decode_hybrid_batched(px, py, pz, fxz, fxy, pyz, wxz, wxy,
+                                      w0, b0, w1, b1, wout, bout,
+                                      *, n_blocks: int = 5,
+                                      compute_dtype=jnp.float32,
+                                      interpret: bool = False):
+    """Batched hybrid fused trunk: grid (B, Rx).
 
-    Shapes: px/py/pz (R, F) shared across scenes;
-    pxz/pxy/pyz (B, n_blocks, R, R, F); weights as in fused_dense_decode.
-    Returns (B, R, R, R, O).
+    Shapes: px/py/pz (R, F); fxz/fxy (B, R, R, C) raw lattice plane
+    features [b, first, second]; pyz (B, n_blocks, R, R, F) precomputed
+    (fc_c biases folded in); wxz/wxy (nb, C, F). Returns (B, R, R, R, O).
     """
     R, F = px.shape
-    B = pxz.shape[0]
+    B = pyz.shape[0]
     O = wout.shape[-1]
     kernel = functools.partial(
-        _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype
+        _trunk_kernel_hybrid, n_blocks=n_blocks, compute_dtype=compute_dtype
     )
 
-    px3 = px[:, None, :]                  # (Rx, 1, F)
-    pxz_t = pxz.transpose(0, 2, 1, 3, 4)  # (B, Rx, nb, Rz, F)
-    pxy_t = pxy.transpose(0, 2, 1, 3, 4)  # (B, Rx, nb, Ry, F)
+    px3 = px[:, None, :]  # (Rx, 1, F)
 
     def const(shape):
         return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -197,9 +304,11 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
             pl.BlockSpec((1, 1, F), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
             const((R, F)),
             const((R, F)),
-            pl.BlockSpec((1, 1, n_blocks, R, F), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_blocks, R, F), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C_ := fxz.shape[-1]), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, C_), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_blocks, R, R, F), lambda b, i: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            const((n_blocks, C_, F)),
+            const((n_blocks, C_, F)),
             const((n_blocks, F, F)),
             const((n_blocks, F)),
             const((n_blocks, F, F)),
@@ -216,9 +325,222 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
         out_shape=jax.ShapeDtypeStruct((B, R, R, R, O), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        # headroom for the unrolled blocks (v5e has 128 MB of VMEM)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(px3, py, pz, pxz_t, pxy_t, pyz, w0, b0, w1, b1, wout, bout)
+    )(px3, py, pz, fxz, fxy, pyz, wxz, wxy, w0, b0, w1, b1, wout, bout)
+
+
+def prepare_hybrid_inputs(dec_params: dict, feats: dict, coords, n_blocks: int = 5,
+                          proj_dtype=jnp.float32):
+    """Inputs for the hybrid kernel: separable fc_p terms, raw xz/xy plane
+    features, precomputed per-block pyz (fc_c biases folded in), and the
+    per-plane fc_c weight splits for the in-kernel row projections."""
+    pk, e, h = _fused_head_weights(dec_params, n_blocks)
+    coords = coords.astype(pk["fc_p_kernel"].dtype)
+    w_p = pk["fc_p_kernel"]
+    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
+    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
+    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+
+    c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+    wxz = jnp.stack([pk[f"fc_c{i}_kernel"][:c_dim] for i in range(n_blocks)])
+    wxy = jnp.stack(
+        [pk[f"fc_c{i}_kernel"][c_dim : 2 * c_dim] for i in range(n_blocks)]
+    )
+    pyz = jnp.stack(
+        [
+            jnp.einsum("qabc,ch->qabh", feats["yz"],
+                       pk[f"fc_c{i}_kernel"][2 * c_dim :], precision=HI)
+            + pk[f"fc_c{i}_bias"]
+            for i in range(n_blocks)
+        ],
+        axis=1,
+    )
+    out = (
+        px, py, pz, feats["xz"], feats["xy"], pyz, wxz, wxy,
+        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
+        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+    )
+    out = tuple(_as_f32(x) for x in out)
+    if proj_dtype != jnp.float32:
+        out = (out[:5] + (out[5].astype(proj_dtype),) + out[6:])
+    return out
+
+
+def decode_affordance_dense_pallas_hybrid_batched(dec_params: dict, feats: dict,
+                                                  coords, n_blocks: int = 5,
+                                                  compute_dtype=jnp.float32,
+                                                  interpret: bool = False):
+    """Batched affordance decode via the hybrid fused kernel.
+
+    Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
+    inputs = prepare_hybrid_inputs(
+        dec_params, feats, coords, n_blocks,
+        proj_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                    else jnp.float32),
+    )
+    out = fused_dense_decode_hybrid_batched(
+        *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return _split_heads(out, dec_params)
+
+
+def _feats_kernel(px_ref, py_ref, pz_ref, fxz_ref, fxy_ref, fyz_ref,
+                  wxz_ref, wxy_ref, wyz_ref, bc_ref,
+                  w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
+                  out_ref, *, n_blocks: int, compute_dtype):
+    """Per-(scene, x-chunk) program computing the fc_c plane projections
+    IN-KERNEL from the raw (C-wide) plane features.
+
+    The projection-precompute design ships (B, nb, R, R, F) tensors per
+    plane through HBM (~590 MB/batch at B=64) — 15x the trunk's own math
+    time in bandwidth. Here the kernel reads only the raw features
+    ((B, R, R, C), ~13 MB/plane/batch) and forms each block's projection as
+    a (rows, C) @ (C, F) MXU matmul in VMEM: ~2% more FLOPs for ~45x less
+    decode-stage HBM traffic.
+    """
+    CX, Rz, C = fxz_ref.shape[1:]
+    Ry = fxy_ref.shape[2]
+    F = py_ref.shape[-1]
+    out_dim = out_ref.shape[-1]
+
+    net = (
+        px_ref[...][:, None, None, :]
+        + py_ref[...][None, :, None, :]
+        + pz_ref[...][None, None, :, :]
+    )  # (CX, Ry, Rz, F)
+    fxz = fxz_ref[0]  # (CX, Rz, C)
+    fxy = fxy_ref[0]  # (CX, Ry, C)
+    fyz = fyz_ref[0]  # (Ry, Rz, C)
+    for b in range(n_blocks):
+        pxz = _mm(fxz.reshape(CX * Rz, C), wxz_ref[b], compute_dtype)
+        pxy = _mm(fxy.reshape(CX * Ry, C), wxy_ref[b], compute_dtype)
+        pyz = _mm(fyz.reshape(Ry * Rz, C), wyz_ref[b], compute_dtype)
+        net = (
+            net
+            + pxz.reshape(CX, 1, Rz, F)
+            + pxy.reshape(CX, Ry, 1, F)
+            + pyz.reshape(1, Ry, Rz, F)
+            + bc_ref[b][None, None, None, :]
+        )
+        flat = net.reshape(CX * Ry * Rz, F)
+        hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
+        dx = _mm(jax.nn.relu(hidden), w1_ref[b], compute_dtype) + b1_ref[b][None, :]
+        net = (flat + dx).reshape(CX, Ry, Rz, F)
+    flat = net.reshape(CX * Ry * Rz, F)
+    out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
+    out_ref[0] = out.reshape(CX, Ry, Rz, out_dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "compute_dtype", "x_chunk", "interpret")
+)
+def fused_dense_decode_feats_batched(px, py, pz, fxz, fxy, fyz,
+                                     wxz, wxy, wyz, bc,
+                                     w0, b0, w1, b1, wout, bout,
+                                     *, n_blocks: int = 5,
+                                     compute_dtype=jnp.float32,
+                                     x_chunk: int = 8,
+                                     interpret: bool = False):
+    """Batched fused trunk from RAW plane features: grid (B, R/x_chunk).
+
+    Shapes: px/py/pz (R, F) (fc_p bias folded into px);
+    fxz/fxy/fyz (B, R, R, C) lattice plane features, [b, first, second];
+    wxz/wxy/wyz (nb, C, F) per-plane fc_c splits; bc (nb, F) fc_c biases;
+    trunk weights as in fused_dense_decode. Returns (B, R, R, R, O).
+    """
+    R, F = px.shape
+    B, _, _, C = fxz.shape
+    O = wout.shape[-1]
+    assert R % x_chunk == 0, (R, x_chunk)
+    kernel = functools.partial(
+        _feats_kernel, n_blocks=n_blocks, compute_dtype=compute_dtype
+    )
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda q, i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(B, R // x_chunk),
+        in_specs=[
+            pl.BlockSpec((x_chunk, F), lambda q, i: (i, 0), memory_space=pltpu.VMEM),
+            const((R, F)),
+            const((R, F)),
+            pl.BlockSpec((1, x_chunk, R, C), lambda q, i: (q, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x_chunk, R, C), lambda q, i: (q, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, R, C), lambda q, i: (q, 0, 0, 0), memory_space=pltpu.VMEM),
+            const((n_blocks, C, F)),
+            const((n_blocks, C, F)),
+            const((n_blocks, C, F)),
+            const((n_blocks, F)),
+            const((n_blocks, F, F)),
+            const((n_blocks, F)),
+            const((n_blocks, F, F)),
+            const((n_blocks, F)),
+            const((F, O)),
+            const((1, O)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, x_chunk, R, R, O), lambda q, i: (q, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, R, R, R, O), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(px, py, pz, fxz, fxy, fyz, wxz, wxy, wyz, bc,
+      w0, b0, w1, b1, wout, bout)
+
+
+def prepare_feats_inputs(dec_params: dict, feats: dict, coords, n_blocks: int = 5):
+    """Kernel inputs for the raw-features variant: separable fc_p terms,
+    the (B, R, R, C) plane features as-is, and per-plane fc_c weight splits."""
+    pk, e, h = _fused_head_weights(dec_params, n_blocks)
+    coords = coords.astype(pk["fc_p_kernel"].dtype)
+    w_p = pk["fc_p_kernel"]
+    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
+    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
+    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+
+    c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
+    wxz = jnp.stack([pk[f"fc_c{i}_kernel"][:c_dim] for i in range(n_blocks)])
+    wxy = jnp.stack(
+        [pk[f"fc_c{i}_kernel"][c_dim : 2 * c_dim] for i in range(n_blocks)]
+    )
+    wyz = jnp.stack([pk[f"fc_c{i}_kernel"][2 * c_dim :] for i in range(n_blocks)])
+    bc = jnp.stack([pk[f"fc_c{i}_bias"] for i in range(n_blocks)])
+    out = (
+        px, py, pz, feats["xz"], feats["xy"], feats["yz"], wxz, wxy, wyz, bc,
+        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
+        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+    )
+    return tuple(_as_f32(x) for x in out)
+
+
+def decode_affordance_dense_pallas_feats_batched(dec_params: dict, feats: dict,
+                                                 coords, n_blocks: int = 5,
+                                                 compute_dtype=jnp.float32,
+                                                 x_chunk: int = 8,
+                                                 interpret: bool = False):
+    """Batched affordance decode via the raw-features fused kernel.
+
+    Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
+    inputs = prepare_feats_inputs(dec_params, feats, coords, n_blocks)
+    out = fused_dense_decode_feats_batched(
+        *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype,
+        x_chunk=x_chunk, interpret=interpret,
+    )
+    return _split_heads(out, dec_params)
 
 
 def _as_f32(x):
@@ -264,9 +586,16 @@ def prepare_projections(dec_params: dict, feats: dict, coords, n_blocks: int = 5
     return tuple(_as_f32(x) for x in out)
 
 
-def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks: int = 5):
+def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks: int = 5,
+                                proj_dtype=jnp.float32):
     """Batched projection precompute: feats {t: (B, R, R, C)} ->
-    px/py/pz (R, F) + pxz/pxy/pyz (B, n_blocks, R, R, F) + fused weights."""
+    px/py/pz (R, F) + pxz/pxy/pyz (B, n_blocks, R, R, F) + fused weights.
+
+    ``proj_dtype=bf16`` stores the three (B, nb, R, R, F) projection tensors
+    in bf16: at B=64 they are ~4.5 GB of round-trip HBM traffic and the
+    measured bottleneck of the batched decode (12.9 of 25.8 ms/batch,
+    round-3 roofline) — halving their bytes buys ~6 ms/batch, while the
+    kernel still accumulates fp32."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
     coords = coords.astype(pk["fc_p_kernel"].dtype)
     w_p = pk["fc_p_kernel"]
@@ -297,7 +626,11 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
         jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
         pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
     )
-    return tuple(_as_f32(x) for x in out)
+    out = tuple(_as_f32(x) for x in out)
+    if proj_dtype != jnp.float32:
+        out = (out[:3] + tuple(x.astype(proj_dtype) for x in out[3:6])
+               + out[6:])
+    return out
 
 
 def _split_heads(out, dec_params):
@@ -332,7 +665,11 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
     """Batched drop-in for decode_affordance_dense_batched via the fused kernel.
 
     Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
-    inputs = prepare_projections_batched(dec_params, feats, coords, n_blocks)
+    inputs = prepare_projections_batched(
+        dec_params, feats, coords, n_blocks,
+        proj_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                    else jnp.float32),
+    )
     out = fused_dense_decode_batched(
         *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype, interpret=interpret
     )

@@ -90,3 +90,63 @@ def test_batched_fused_kernel_bf16_close_to_fp32():
     # qual is post-sigmoid in [0, 1]; bf16 matmuls move it by < 2e-2
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-2)
     assert np.median(np.abs(np.asarray(q1) - np.asarray(q2))) < 3e-3
+
+
+def test_feats_kernel_matches_xla_path():
+    """Raw-features variant (in-kernel fc_c projections) == XLA batched path."""
+    from giga_tpu.inference.dense_decode import (
+        decode_affordance_dense_batched,
+        sample_planes_on_lattice_batched,
+    )
+    from giga_tpu.ops.pallas.decoder_kernel import (
+        decode_affordance_dense_pallas_feats_batched,
+    )
+
+    net, cfg = get_network("giga")
+    tsdf = jnp.zeros((1, 40, 40, 40))
+    p = jnp.zeros((1, 4, 3))
+    params = net.init(jax.random.PRNGKey(2), tsdf, p, p)
+    rng = np.random.RandomState(2)
+    grids = jnp.asarray(rng.rand(2, 40, 40, 40).astype(np.float32))
+    planes = net.apply(params, grids, method="encode")
+    coords = lattice_coords(40)
+    feats = sample_planes_on_lattice_batched(planes, coords, 40, 0.0)
+    dp = params["params"]["decoder_aff"]
+
+    q1, r1, w1 = decode_affordance_dense_batched(dp, feats, coords)
+    q2, r2, w2 = decode_affordance_dense_pallas_feats_batched(
+        dp, feats, coords, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_hybrid_kernel_matches_xla_path():
+    """Hybrid variant (pyz precomputed, pxz/pxy rows in-kernel) == XLA."""
+    from giga_tpu.inference.dense_decode import (
+        decode_affordance_dense_batched,
+        sample_planes_on_lattice_batched,
+    )
+    from giga_tpu.ops.pallas.decoder_kernel import (
+        decode_affordance_dense_pallas_hybrid_batched,
+    )
+
+    net, cfg = get_network("giga")
+    tsdf = jnp.zeros((1, 40, 40, 40))
+    p = jnp.zeros((1, 4, 3))
+    params = net.init(jax.random.PRNGKey(3), tsdf, p, p)
+    rng = np.random.RandomState(3)
+    grids = jnp.asarray(rng.rand(2, 40, 40, 40).astype(np.float32))
+    planes = net.apply(params, grids, method="encode")
+    coords = lattice_coords(40)
+    feats = sample_planes_on_lattice_batched(planes, coords, 40, 0.0)
+    dp = params["params"]["decoder_aff"]
+
+    q1, r1, w1 = decode_affordance_dense_batched(dp, feats, coords)
+    q2, r2, w2 = decode_affordance_dense_pallas_hybrid_batched(
+        dp, feats, coords, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
