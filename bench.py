@@ -115,14 +115,37 @@ def section_planner(out: Collector):
 
     net, cfg, params, planner_cfg, grids, _, _, _ = _giga_setup()
 
+    def single_chain_latency(jplan):
+        """Device-side serial chain over the single-scene planner (see
+        serial_chain_latency — immune to the tunnel's replay caching)."""
+        import functools
+
+        import jax
+
+        from giga_tpu.utils.benchmark import serial_chain_latency
+
+        p_fn = getattr(jplan, "__wrapped__", jplan)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(n, p, g):
+            def body(i, acc):
+                cands, _ = p_fn(p, g + (acc * 1e-24), g)
+                return acc + jnp.nansum(jnp.where(
+                    jnp.isfinite(cands.scores), cands.scores, 0.0))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return serial_chain_latency(loop, (params, grids[0]), inner=32)
+
     # headline first: fp32 single-scene latency drives the top-level value
     plan = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3)
     t0 = time.time()
     cands, _ = plan(params, grids[0], grids[0])
     np.asarray(cands.scores)
     log(f"compile+first run: {time.time() - t0:.1f}s")
-    dt = true_latency(plan, [(params, g, g) for g in grids])
-    log(f"single-scene true latency: {dt * 1e3:.3f} ms -> {1.0 / dt:.1f} scenes/s")
+    dt = single_chain_latency(plan)
+    log(f"single-scene serial-chain latency: {dt * 1e3:.3f} ms"
+        f" -> {1.0 / dt:.1f} scenes/s")
     out.put(single_scene_ms=round(dt * 1e3, 3))
 
     floor = dispatch_floor()
@@ -134,7 +157,7 @@ def section_planner(out: Collector):
                                        dtype=jnp.bfloat16)
         cands, _ = plan16(params, grids[0], grids[0])
         np.asarray(cands.scores)
-        d = true_latency(plan16, [(params, g, g) for g in grids])
+        d = single_chain_latency(plan16)
         log(f"single-scene bf16 trunk: {d * 1e3:.3f} ms -> {1.0 / d:.1f} scenes/s")
         return d
 
@@ -142,13 +165,20 @@ def section_planner(out: Collector):
     out.put(single_scene_bf16_ms=round(bf16_dt * 1e3, 3))
 
     def run_pipelined():
-        from giga_tpu.utils.benchmark import pipelined_throughput
+        from giga_tpu.utils.benchmark import (
+            pipelined_throughput,
+            pipelined_throughput_async,
+        )
 
         plan16 = build_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
                                        dtype=jnp.bfloat16)
-        sps = pipelined_throughput(plan16, [(params, g, g) for g in grids])
-        log(f"pipelined single-scene (issue N, fetch N-1): {sps:.1f} scenes/s")
-        return sps
+        args = [(params, g, g) for g in grids]
+        lag1 = pipelined_throughput(plan16, args)
+        log(f"pipelined lag-1 sync fetch: {lag1:.1f} scenes/s "
+            f"(tunnel RTT-bound: ~25 ms/fetch)")
+        deep = pipelined_throughput_async(plan16, args, depth=8)
+        log(f"pipelined depth-8 async fetch: {deep:.1f} scenes/s")
+        return max(lag1, deep)
 
     out.put(pipelined_scenes_per_sec=round(guarded("pipelined", run_pipelined), 2))
 
@@ -181,14 +211,33 @@ def section_batched(out: Collector):
             log(f"{label} cost analysis failed: {type(e).__name__}: {e}")
 
     def run_batched(dtype, label, use_pallas=False):
+        import functools
+
+        import jax
+
+        from giga_tpu.utils.benchmark import serial_chain_latency
+
         bplan = build_batched_giga_planner_fn(net, cfg, planner_cfg, size=0.3,
                                               dtype=dtype, use_pallas=use_pallas)
-        cands, _ = bplan(params, batches[0], batches[0])
-        np.asarray(cands.scores)
-        d = true_latency(bplan, [(params, b, b) for b in batches], n_hi=9)
+        plan = getattr(bplan, "__wrapped__", bplan)
+
+        # device-side serial chain: each iteration's input is perturbed by
+        # the previous iteration's reduced output, so the tunnel cannot
+        # replay-cache repeated dispatches (see serial_chain_latency)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(n, p, g):
+            def body(i, acc):
+                cands, _ = plan(p, g + (acc * 1e-24), g)
+                return acc + jnp.nansum(jnp.where(
+                    jnp.isfinite(cands.scores), cands.scores, 0.0))
+            import jax as _jax
+
+            return _jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        d = serial_chain_latency(loop, (params, batches[0]))
         sps = B / d
-        log(f"batched (B={B}, {label}) true throughput: {sps:.1f} scenes/s"
-            f" ({d * 1e3:.2f} ms/batch)")
+        log(f"batched (B={B}, {label}) serial-chain throughput: {sps:.1f}"
+            f" scenes/s ({d * 1e3:.2f} ms/batch)")
         roofline(bplan, d, f"{label} batched B={B}")
         return sps
 
@@ -357,6 +406,22 @@ def section_meshgen(out: Collector):
         log(f"mesh generation 128^3: {single * 1e3:.0f} ms/scene warm,"
             f" batched B={B}: {batched * 1e3:.0f} ms/scene")
         out.put(mesh_gen_batched_ms_per_scene=round(batched * 1e3, 1))
+
+        # 256^3 via the single-program device refinement (VERDICT r2 #4):
+        # coarse dense at 128 + sparse fine decode of the surface shell
+        gen256 = MeshGenerator(geo_net, geo_params, resolution0=32,
+                               upsampling_steps=3, strategy="refine")
+        m, st = gen256.generate_mesh(tsdf)  # compile
+        assert st.get("refine (device)"), "256^3 device refine not taken"
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            gen256.generate_mesh(tsdf, return_stats=False)
+            ts.append(time.perf_counter() - t0)
+        hi = float(np.median(ts))
+        log(f"mesh generation 256^3 (device refine): {hi * 1e3:.0f} ms/scene "
+            f"warm, {len(m.faces)} faces, bands {st['refine cells (coarse/fine)']}")
+        out.put(mesh_gen_256_ms_per_scene=round(hi * 1e3, 1))
 
     guarded("meshgen", run_meshgen, default=None)
 

@@ -83,6 +83,77 @@ def pipelined_throughput(fn, args_list, n: int = 64, repeats: int = 3) -> float:
     return n / min(run() for _ in range(repeats))
 
 
+def serial_chain_latency(loop_fn, args, inner: int = 8, repeats: int = 3) -> float:
+    """Per-iteration seconds of a DEVICE-SIDE serial chain (the strongest
+    honesty protocol on remote tunnels).
+
+    ``loop_fn(n, *args)`` must be a callable (jit-compiled with static n)
+    that runs the measured computation n times serially on device — each
+    iteration data-dependent on the previous (e.g. perturb the input with
+    the last iteration's reduced output) — and returns a small array.
+    Because the chain lives inside ONE program, nothing can be replay-
+    cached, deduplicated, overlapped, or hidden behind the dispatch floor;
+    ``true_latency``'s cycled-inputs protocol was caught being replay-
+    cached by the axon tunnel (a 762-GFLOP batch "ran" in 0.315 ms).
+
+    Returns median over ``repeats`` of (t(1+inner) - t(1)) / inner, with
+    both program sizes compiled before timing.
+    """
+    import jax
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree.leaves(loop_fn(n, *args))[0])
+        return time.perf_counter() - t0
+
+    run(1)
+    run(1 + inner)  # compile both before timing
+    ds = sorted(run(1 + inner) - run(1) for _ in range(repeats))
+    return max(ds[len(ds) // 2] / inner, 1e-9)
+
+
+def pipelined_throughput_async(fn, args_list, n: int = 64, depth: int = 8,
+                               repeats: int = 3) -> float:
+    """Scenes/sec with depth-k in-flight async host transfers.
+
+    ``pipelined_throughput`` (lag-1, synchronous fetch) is bounded by the
+    link's per-fetch round-trip (~25 ms through the axon tunnel — each
+    ``device_get`` serializes an RPC). Here every call's result transfer is
+    STARTED immediately (``copy_to_host_async``) and only COMPLETED lag
+    ``depth`` behind, so up to ``depth`` transfers are in flight and, if the
+    transport pipelines them, per-scene cost approaches
+    max(compute, transfer) instead of compute + RTT. Accounting stays
+    honest: every result is materialized as host numpy inside the timed
+    region.
+    """
+    import jax
+
+    def issue(args):
+        r = fn(*args)
+        for leaf in jax.tree.leaves(r):
+            leaf.copy_to_host_async()
+        return r
+
+    def complete(r):
+        for leaf in jax.tree.leaves(r):
+            np.asarray(leaf)
+
+    complete(issue(args_list[0]))  # warm
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(n):
+            pending.append(issue(args_list[i % len(args_list)]))
+            if len(pending) > depth:
+                complete(pending.pop(0))
+        for r in pending:
+            complete(r)
+        return time.perf_counter() - t0
+
+    return n / min(run() for _ in range(repeats))
+
+
 def dispatch_floor(repeats: int = 3) -> float:
     """Per-call cost of a trivial program (tunnel RPC + scheduling floor)."""
     import jax

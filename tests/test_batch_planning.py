@@ -33,6 +33,30 @@ def test_plan_batch_matches_sequential():
         np.testing.assert_allclose(scores_i, bs, atol=1e-6)
 
 
+def test_pipelined_async_fetch_measures_and_materializes():
+    """Depth-k async-fetch throughput helper: returns a positive rate and
+    every timed call's result reaches the host (the jitted fn is called the
+    requested number of times)."""
+    import jax.numpy as jnp
+
+    from giga_tpu.utils.benchmark import pipelined_throughput_async
+
+    calls = []
+
+    @jax.jit
+    def f(x):
+        return x * 2.0 + 1.0
+
+    def counted(x):
+        calls.append(1)
+        return f(x)
+
+    xs = [(jnp.full((16, 16), float(i)),) for i in range(4)]
+    rate = pipelined_throughput_async(counted, xs, n=12, depth=3, repeats=2)
+    assert rate > 0
+    assert len(calls) == 1 + 2 * 12  # warm + repeats * n
+
+
 def test_plan_stream_matches_sequential():
     """Lag-1 pipelined streaming returns exactly the per-scene results."""
     import jax.numpy as jnp
