@@ -20,3 +20,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compile cache: remote-tunnel compiles cost up to ~350 s per
+# program (train step); the disk cache pays that once across processes and
+# sessions. Opt out with GIGA_TPU_NO_COMPILE_CACHE=1; override the location
+# with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("GIGA_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                # same location bench.py uses, so scripts and the benchmark
+                # share warm compiles
+                _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              _os.pardir, ".jax_cache"),
+            ),
+        )
+    except Exception:  # pragma: no cover — the cache is an optimization only
+        pass

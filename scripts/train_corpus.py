@@ -77,28 +77,53 @@ def main(args):
                             args.batch_occ, seed=args.seed,
                             augment=not args.no_augment)
 
+    # EMA of params: the oracle-GSR trajectory oscillates strongly between
+    # checkpoints (round-3 runs: 16-47% swings at adjacent evals); a slow
+    # weight average is a much flatter, usually-better candidate
+    ema = None
+    if args.ema > 0:
+
+        @jax.jit
+        def ema_update(e, p):
+            return jax.tree.map(
+                lambda a, b: args.ema * a + (1.0 - args.ema) * b, e, p
+            )
+
     t0 = time.time()
-    best = (-1.0, None)  # (gsr, params)
+    best = (-1.0, None, "")  # (gsr, params, tag)
     for it in range(1, args.steps + 1):
         sel = {k: jnp.asarray(v) for k, v in sampler().items()}
         state, terms = step(state, corpus, sel)
+        if args.ema > 0:
+            ema = state.params if ema is None else ema_update(ema, state.params)
         if it % args.log_every == 0 or it == args.steps:
             loss = float(jax.device_get(terms["loss_all"]))
             print(f"step {it}: loss {loss:.4f} "
                   f"({(time.time() - t0) / it * 1e3:.0f} ms/step avg)", flush=True)
         if it % args.eval_every == 0 or it == args.steps:
-            params = jax.device_get(state.params)
-            gsr = oracle_eval(params, args.eval_scenes, args.eval_seed)
-            mark = ""
-            if gsr > best[0]:
-                best = (gsr, params)
-                mark = " *best*"
-                if args.out:
-                    save_params(params, args.out)
-            print(f"step {it}: oracle GSR {gsr:.1f}% "
-                  f"(top-5 x {args.eval_scenes} scenes){mark}", flush=True)
+            # multi-seed selection: the 12-scene single-seed protocol was
+            # noisy enough to pick checkpoints that lose 20 GSR points on a
+            # wide eval (round-3 finding) — average over independent seeds
+            seeds = [args.eval_seed + 97 * k for k in range(args.eval_reps)]
+            cands = [("", jax.device_get(state.params))]
+            if ema is not None:
+                cands.append(("ema ", jax.device_get(ema)))
+            for tag, params in cands:
+                per_seed = [oracle_eval(params, args.eval_scenes, s)
+                            for s in seeds]
+                gsr = float(np.mean(per_seed))
+                mark = ""
+                if gsr > best[0]:
+                    best = (gsr, params, tag)
+                    mark = " *best*"
+                    if args.out:
+                        save_params(params, args.out)
+                detail = "/".join(f"{g:.0f}" for g in per_seed)
+                print(f"step {it}: {tag}oracle GSR {gsr:.1f}% [{detail}] "
+                      f"(top-5 x {args.eval_scenes} scenes x {len(seeds)} "
+                      f"seeds){mark}", flush=True)
     print(f"trained {args.steps} steps in {(time.time() - t0) / 60:.1f} min; "
-          f"best in-training GSR {best[0]:.1f}%")
+          f"best in-training GSR {best[0]:.1f}% {best[2]}")
     if args.out and best[1] is not None:
         save_params(best[1], args.out)
         print(f"saved best params to {args.out}")
@@ -119,5 +144,9 @@ if __name__ == "__main__":
     p.add_argument("--eval-every", type=int, default=1500)
     p.add_argument("--eval-scenes", type=int, default=12)
     p.add_argument("--eval-seed", type=int, default=1000)
+    p.add_argument("--eval-reps", type=int, default=2,
+                   help="independent eval seeds averaged for selection")
+    p.add_argument("--ema", type=float, default=0.999,
+                   help="params EMA decay; 0 disables")
     p.add_argument("--out", type=str, default="checkpoints/corpus_giga.msgpack")
     raise SystemExit(main(p.parse_args()))
