@@ -85,10 +85,17 @@ class MeshGenerator:
         )
         self._dense = jax.jit(self._build_dense_eval(final_res + 1))
         self._band = jax.jit(self._build_band_eval(final_res + 1))
-        self._refine_band = (
-            jax.jit(self._build_refine_band_eval())
-            if upsampling_steps >= 1 and final_res % 2 == 0 else None
+        # tiered refine programs: the half-budget tier covers typical scenes
+        # at ~half the fine-decode FLOPs and half the band-fetch bytes; the
+        # full tier only runs on overflow (then the host path as last resort)
+        self._refine_tiers = (
+            [
+                (self.refine_coarse_cells // 2, self.refine_fine_cells // 2),
+                (self.refine_coarse_cells, self.refine_fine_cells),
+            ]
+            if upsampling_steps >= 1 and final_res % 2 == 0 else []
         )
+        self._refine_band_cache = {}
         self._jit_cache = {}
 
     def _build_dense_eval(self, n: int):
@@ -175,7 +182,19 @@ class MeshGenerator:
 
         return band
 
-    def _build_refine_band_eval(self):
+    def _refine_band_fn(self, tier: int):
+        """Lazily-built jitted refine program for budget tier ``tier``."""
+        import jax
+
+        if tier not in self._refine_band_cache:
+            K_c, K_f = self._refine_tiers[tier]
+            self._refine_band_cache[tier] = jax.jit(
+                self._build_refine_band_eval(K_c, K_f)
+            )
+        return self._refine_band_cache[tier]
+
+    def _build_refine_band_eval(self, K_c: int | None = None,
+                                K_f: int | None = None):
         """One-level hierarchical surface refinement as a SINGLE device
         program (role of the reference's MISE octree, mise.pyx:33-44, driven
         by generation.py:126-142).
@@ -207,7 +226,8 @@ class MeshGenerator:
         coords_f = jnp.linspace(-box_size / 2, box_size / 2, n_f, dtype=jnp.float32)
         logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
         OUT = -6.0e4  # fp16-safe "outside" fill
-        K_c, K_f = self.refine_coarse_cells, self.refine_fine_cells
+        if K_c is None:
+            K_c, K_f = self.refine_coarse_cells, self.refine_fine_cells
         dense_c = self._build_dense_eval(n_c)
         # static 27-point stencil offsets, x-major (matches v27 reshape)
         offs = np.stack(
@@ -503,25 +523,27 @@ class MeshGenerator:
             from giga_tpu.geometry.native import get_lib
 
             mesh = None
-            if (self._refine_band is not None and get_lib() is not None
+            if (self._refine_tiers and get_lib() is not None
                     and "grid" not in self._planes):
                 import jax
 
                 t0 = time.time()
-                ids, vals, count_f, count_c = jax.device_get(
-                    self._refine_band(self.params, self._planes)
-                )
-                if (int(count_c) <= self.refine_coarse_cells
-                        and int(count_f) <= self.refine_fine_cells):
-                    stats["time (eval points)"] = time.time() - t0
-                    stats["refine (device)"] = True
-                    stats["refine cells (coarse/fine)"] = (
-                        int(count_c), int(count_f)
+                for tier, (K_c, K_f) in enumerate(self._refine_tiers):
+                    ids, vals, count_f, count_c = jax.device_get(
+                        self._refine_band_fn(tier)(self.params, self._planes)
                     )
-                    cf = int(count_f)
-                    mesh = self._mesh_from_refine_band(
-                        ids[:cf], vals[:cf], logit_th, box_size, stats
-                    )
+                    if int(count_c) <= K_c and int(count_f) <= K_f:
+                        stats["time (eval points)"] = time.time() - t0
+                        stats["refine (device)"] = True
+                        stats["refine tier"] = tier
+                        stats["refine cells (coarse/fine)"] = (
+                            int(count_c), int(count_f)
+                        )
+                        cf = int(count_f)
+                        mesh = self._mesh_from_refine_band(
+                            ids[:cf], vals[:cf], logit_th, box_size, stats
+                        )
+                        break
             if mesh is None:  # budget overflow or unsupported: exact host path
                 t0 = time.time()
 

@@ -140,7 +140,7 @@ class TestStrategies:
                             strategy="refine")
         m_dev, stats = gen.generate_mesh(scene_tsdf)
         assert stats.get("refine (device)")
-        gen._refine_band = None  # force the host refine_grid route
+        gen._refine_tiers = []  # force the host refine_grid route
         m_host = gen.generate_mesh(scene_tsdf, return_stats=False)
         assert abs(len(m_dev.faces) - len(m_host.faces)) <= 0.01 * len(m_host.faces)
         from scipy.spatial import cKDTree
@@ -161,8 +161,8 @@ class TestStrategies:
         ref = gen.generate_mesh(scene_tsdf, return_stats=False)
         gen2 = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
                              strategy="refine")
-        gen2.refine_fine_cells = 8  # force overflow
-        gen2._refine_band = jax.jit(gen2._build_refine_band_eval())
+        gen2._refine_tiers = [(8, 8)]  # force overflow in every tier
+        gen2._refine_band_cache = {}
         m, stats = gen2.generate_mesh(scene_tsdf)
         assert not stats.get("refine (device)")
         assert abs(len(m.faces) - len(ref.faces)) <= 0.01 * len(ref.faces)

@@ -47,14 +47,16 @@ def test_pointnetpp_forward_and_grad():
     net = PointNetPlusPlus(c_dim=16)
     rng = np.random.RandomState(2)
     xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 600, 3)), jnp.float32)
-    variables = net.init(jax.random.PRNGKey(0), xyz)
-    _, feats = net.apply(variables, xyz)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), xyz)
+    # jit everything: the FPS lax.scan is hundreds of per-op dispatches when
+    # run eagerly (this test alone cost 76 s of the suite)
+    _, feats = jax.jit(net.apply)(variables, xyz)
     assert feats.shape == (1, 600, 16)
 
     def loss(v):
         _, f = net.apply(v, xyz)
         return jnp.sum(f**2)
 
-    g = jax.grad(loss)(variables)
+    g = jax.jit(jax.grad(loss))(variables)
     total = jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
     assert np.isfinite(float(total))
