@@ -5,12 +5,14 @@ in HBM (~0.5 GB at B=64 bf16) only for the pooling reduction to read them
 straight back — stem+pool measured 3.3 ms of the 4.2 ms batched encode
 (round-3 roofline), with the three 40^2 plane outputs totalling just 12 MB.
 
-This kernel runs both stages per scene in VMEM: an im2col of the z-banded
-2D image form (giga_tpu/models/layers.py::zbanded_kernel — z folded into
-channels, contraction depth k^2*Z), one (X*Y, k^2*Z) @ (k^2*Z, Z*C) MXU
-matmul, bias + ReLU, and the three axis means written in the reference's
-plane layout (row = second axis, col = first; encoder.py::axis_mean_planes).
-The voxel volume never touches HBM.
+This kernel runs both stages per scene in VMEM: the z-banded 2D image form
+(giga_tpu/models/layers.py::zbanded_kernel — z folded into channels) as a
+sum of k x-shifted (X*Y, k*Z) @ (k*Z, Z*C) MXU matmuls (y-shifts
+pre-concatenated by XLA outside the kernel), bias + ReLU, then the three
+axis means — the z-mean as a pooling matmul, the x/y means as major-axis
+reductions — emitted flat and unflattened outside (reference plane layout:
+row = second axis, col = first; encoder.py::axis_mean_planes). The voxel
+volume never touches HBM.
 
 Numerics match the XLA path to reassociation rounding (the conv lowering
 reduces in a different order); with ``compute_dtype=bf16`` the matmul runs
