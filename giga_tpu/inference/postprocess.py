@@ -79,7 +79,8 @@ def _top_k_two_level(flat_scores, k: int):
     Returns (top_scores (B, k), top_idx (B, k) flat indices into N).
     """
     B, N = flat_scores.shape
-    if N % k != 0 or N // k <= 2:
+    # exactness requires picking k segments out of S >= k of them
+    if N % k != 0 or N // k < k:
         top_scores, top_idx = jax.lax.top_k(flat_scores, k)
         return top_scores, top_idx
     S = N // k
@@ -110,7 +111,8 @@ def select_grasps(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandi
 
     flat_scores = jnp.where(peaks, q, -jnp.inf).reshape(-1)
     k = min(cfg.max_grasps, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_scores, top_idx = _top_k_two_level(flat_scores[None], k)
+    top_scores, top_idx = top_scores[0], top_idx[0]
     count = jnp.sum(peaks).astype(jnp.int32)
     count = jnp.where(best_only, jnp.minimum(count, 1), count)
     count = jnp.minimum(count, k)
