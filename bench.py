@@ -265,9 +265,26 @@ def section_models(out: Collector):
         build_vgn_planner_fn,
     )
     from giga_tpu.models.registry import get_network
-    from giga_tpu.utils.benchmark import true_latency
+    from giga_tpu.utils.benchmark import serial_chain_latency
 
     _, _, _, planner_cfg, grids, tsdf0, p0, rng_np = _giga_setup()
+
+    def chain_plan(jplan, params, grid, inner=32):
+        """Serial-chain latency of a planner fn (see serial_chain_latency)."""
+        import functools
+
+        p_fn = getattr(jplan, "__wrapped__", jplan)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(n, p, g):
+            def body(i, acc):
+                cands, _ = p_fn(p, g + (acc * 1e-24), g)
+                return acc + jnp.nansum(jnp.where(
+                    jnp.isfinite(cands.scores), cands.scores, 0.0))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return serial_chain_latency(loop, (params, grid), inner=inner)
 
     def run_vgn():
         vgn_net, _ = get_network("vgn")
@@ -275,7 +292,7 @@ def section_models(out: Collector):
         vgn_plan = build_vgn_planner_fn(vgn_net, planner_cfg, size=0.3)
         cands, _ = vgn_plan(vgn_params, grids[0], grids[0])
         np.asarray(cands.scores)
-        dtv = true_latency(vgn_plan, [(vgn_params, g, g) for g in grids])
+        dtv = chain_plan(vgn_plan, vgn_params, grids[0])
         log(f"vgn planner: {dtv * 1e3:.3f} ms/scene")
         return dtv
 
@@ -287,7 +304,7 @@ def section_models(out: Collector):
         aff_plan = build_giga_planner_fn(aff_net, aff_cfg, planner_cfg, size=0.3)
         cands, _ = aff_plan(aff_params, grids[0], grids[0])
         np.asarray(cands.scores)
-        dta = true_latency(aff_plan, [(aff_params, g, g) for g in grids])
+        dta = chain_plan(aff_plan, aff_params, grids[0])
         log(f"giga_aff planner: {dta * 1e3:.3f} ms/scene")
         return dta
 
@@ -308,9 +325,21 @@ def section_models(out: Collector):
             )
         )
         np.asarray(geo_query(geo_params, grids[0][None], pts[0]))[:1]
-        dtg = true_latency(
-            geo_query, [(geo_params, g[None], pts[i % 4]) for i, g in enumerate(grids)]
-        )
+        import functools
+
+        geo_fn = geo_query.__wrapped__
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def geo_loop(n, p, g, q):
+            def body(i, acc):
+                out = geo_fn(p, g + (acc * 1e-24), q)
+                return acc + jnp.nansum(out) * 1e-6
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        from giga_tpu.utils.benchmark import serial_chain_latency as _scl
+
+        dtg = _scl(geo_loop, (geo_params, grids[0][None], pts[0]), inner=16)
         log(f"giga_geo encode+100k occ queries: {dtg * 1e3:.3f} ms/scene")
         return dtg
 
