@@ -52,9 +52,10 @@ class MeshGenerator:
         final_res = resolution0 * (2**upsampling_steps)
         if strategy == "auto":
             # one-shot dense decode wins while the lattice fits comfortably
-            # on device; hierarchical refinement pays off only at very high
-            # resolutions where most cells are far from the surface
-            strategy = "dense" if final_res <= 256 else "refine"
+            # on device; above that the one-program device refinement (coarse
+            # dense at final/2 + sparse fine shell) is ~3x cheaper than the
+            # full-lattice decode (measured at 256^3, round 3)
+            strategy = "dense" if final_res <= 128 else "refine"
         assert strategy in ("dense", "refine"), strategy
         self.strategy = strategy
         # 'bf16' runs the dense occupancy decode with a bf16 trunk (MXU native
