@@ -189,7 +189,8 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
     R, F = px.shape
     B = pxz.shape[0]
     O = wout.shape[-1]
-    SX = x_slabs if R % x_slabs == 0 else 1
+    # largest slab group <= x_slabs that divides R (R=60 -> 6, R=80 -> 8)
+    SX = next(s for s in range(min(x_slabs, R), 0, -1) if R % s == 0)
     kernel = functools.partial(
         _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype
     )
