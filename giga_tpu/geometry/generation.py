@@ -71,6 +71,13 @@ class MeshGenerator:
         c_cells = final_res // 2 + 2  # padded coarse cells per axis
         self.refine_coarse_cells = min(65536, c_cells**3)
         self.refine_fine_cells = min(131072, 8 * self.refine_coarse_cells)
+        # unique fine lattice points decoded (dedup of the overlapping
+        # 3x3x3 stencils): a dilated ~3-cell-thick shell needs ~9.3 unique
+        # points per active coarse cell (28 new points per 3-cell column),
+        # vs 27 if each cell decoded its own stencil — budget 12x for margin
+        self.refine_point_cells = min(
+            12 * self.refine_coarse_cells, (2 * c_cells + 1) ** 3
+        )
         self._planes = None
         # jitted once: unjitted apply would dispatch op-by-op (very slow on
         # remote accelerators); chunk padding keeps shapes reusable
@@ -91,8 +98,10 @@ class MeshGenerator:
         # full tier only runs on overflow (then the host path as last resort)
         self._refine_tiers = (
             [
-                (self.refine_coarse_cells // 2, self.refine_fine_cells // 2),
-                (self.refine_coarse_cells, self.refine_fine_cells),
+                (self.refine_coarse_cells // 2, self.refine_fine_cells // 2,
+                 self.refine_point_cells // 2),
+                (self.refine_coarse_cells, self.refine_fine_cells,
+                 self.refine_point_cells),
             ]
             if upsampling_steps >= 1 and final_res % 2 == 0 else []
         )
@@ -188,29 +197,33 @@ class MeshGenerator:
         import jax
 
         if tier not in self._refine_band_cache:
-            K_c, K_f = self._refine_tiers[tier]
+            K_c, K_f, K_p = self._refine_tiers[tier]
             self._refine_band_cache[tier] = jax.jit(
-                self._build_refine_band_eval(K_c, K_f)
+                self._build_refine_band_eval(K_c, K_f, K_p)
             )
         return self._refine_band_cache[tier]
 
     def _build_refine_band_eval(self, K_c: int | None = None,
-                                K_f: int | None = None):
+                                K_f: int | None = None,
+                                K_p: int | None = None):
         """One-level hierarchical surface refinement as a SINGLE device
         program (role of the reference's MISE octree, mise.pyx:33-44, driven
         by generation.py:126-142).
 
-        TPU-first redesign: the incremental octree becomes three fixed-shape
+        TPU-first redesign: the incremental octree becomes four fixed-shape
         stages fused into one XLA program — (1) dense coarse decode at
         final/2 with the lattice-factorized trunk, (2) compaction of the
         dilated straddle-cell shell into a static (K_c,) buffer, (3) sparse
-        decode of each active cell's 3x3x3 fine-lattice stencil
-        (decode_lattice_points: row gathers + the same fused-head FC trunk),
-        emitting the straddling FINE cells in the dense path's compact band
-        format. The host fetches only ~20 B per surface cell; nothing else
-        crosses the link. Returns (fine_cell_ids, fine_corner_vals f16,
-        fine_count, coarse_count) — either count exceeding its budget makes
-        the caller fall back to the exact host path.
+        decode of the UNIQUE fine lattice points those cells' 3x3x3 stencils
+        touch (decode_lattice_points: row gathers + the same fused-head FC
+        trunk; adjacent cells share stencil points, so dedup cuts the decoded
+        rows ~2.5x vs per-cell stencils), scattered into a dense fine volume,
+        (4) per-cell 27-point gather from that volume, emitting the
+        straddling FINE cells in the dense path's compact band format. The
+        host fetches only ~20 B per surface cell; nothing else crosses the
+        link. Returns (fine_cell_ids, fine_corner_vals f16, fine_count,
+        coarse_count, point_count) — any count exceeding its budget makes
+        the caller fall back to the next tier or the exact host path.
         """
         import jax
 
@@ -229,6 +242,8 @@ class MeshGenerator:
         OUT = -6.0e4  # fp16-safe "outside" fill
         if K_c is None:
             K_c, K_f = self.refine_coarse_cells, self.refine_fine_cells
+        if K_p is None:
+            K_p = self.refine_point_cells
         dense_c = self._build_dense_eval(n_c)
         # static 27-point stencil offsets, x-major (matches v27 reshape)
         offs = np.stack(
@@ -267,26 +282,43 @@ class MeshGenerator:
             cy = (cidx // C_c) % C_c
             cz = cidx % C_c
 
-            # --- stage 3: fine 3x3x3 stencils; padded-fine point f = 2c+off,
+            # --- stage 3: decode each UNIQUE fine lattice point once.
+            # Padded-fine point f = 2c + off (off in 0..2), so the needed-
+            # point mask is d upsampled onto even positions (lax.pad with
+            # interior padding) OR-ed over the 27 stencil shifts — dense VPU
+            # work, no scatter. Adjacent active cells share stencil points
+            # (a dilated shell needs ~9-10 unique points per cell, not 27),
+            # so this cuts the fine-decode rows ~2.5x.
+            P = 2 * C_c + 1  # padded fine lattice points per axis
+            base = jax.lax.pad(d, False, [(0, 2, 1)] * 3)  # base[2c] = d[c]
+            bp = jnp.pad(base, ((2, 0), (2, 0), (2, 0)))
+            m = None
+            for ox in (0, 1, 2):
+                for oy in (0, 1, 2):
+                    for oz in (0, 1, 2):
+                        v = bp[2 - ox : 2 - ox + P,
+                               2 - oy : 2 - oy + P,
+                               2 - oz : 2 - oz + P]
+                        m = v if m is None else m | v
+            count_p = m.sum(dtype=jnp.int32)
+            (pidx,) = jnp.nonzero(m.reshape(-1), size=K_p, fill_value=0)
+            px = pidx // (P * P)
+            py = (pidx // P) % P
+            pz = pidx % P
             # real fine index u = f - 2 (points outside the box stay OUT)
-            fx = 2 * cx[:, None] + offs[None, :, 0]
-            fy = 2 * cy[:, None] + offs[None, :, 1]
-            fz = 2 * cz[:, None] + offs[None, :, 2]
-            ux, uy, uz = fx - 2, fy - 2, fz - 2
+            ux, uy, uz = px - 2, py - 2, pz - 2
             inbox = (
                 (ux >= 0) & (ux < n_f) & (uy >= 0) & (uy < n_f)
                 & (uz >= 0) & (uz < n_f)
-            ).reshape(-1)
-            gx = jnp.clip(ux, 0, n_f - 1).reshape(-1)
-            gy = jnp.clip(uy, 0, n_f - 1).reshape(-1)
-            gz = jnp.clip(uz, 0, n_f - 1).reshape(-1)
+            )
+            gx = jnp.clip(ux, 0, n_f - 1)
+            gy = jnp.clip(uy, 0, n_f - 1)
+            gz = jnp.clip(uz, 0, n_f - 1)
 
             p = params["params"]["decoder_occ"]
             planes_d = {t: v[0] for t, v in planes.items()}
             if self.compute_dtype is not None:
-                import jax as _jax
-
-                p = _jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
+                p = jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
                 planes_d = {
                     t: v.astype(self.compute_dtype) for t, v in planes_d.items()
                 }
@@ -294,8 +326,19 @@ class MeshGenerator:
             vals = decode_lattice_points(
                 p, feats, coords_f, gx, gy, gz, cfg.decoder.n_blocks
             )[0, :, 0]
-            vals = jnp.where(inbox, vals.astype(jnp.float32), OUT)
-            v27 = vals.reshape(K_c, 3, 3, 3)
+            valid_p = jnp.arange(K_p, dtype=jnp.int32) < count_p
+            vals = jnp.where(inbox & valid_p, vals.astype(jnp.float32), OUT)
+            # every valid active cell's stencil point is in the mask by
+            # construction; fill slots all write OUT at flat index 0
+            vol = jnp.full((P * P * P,), OUT, jnp.float32).at[pidx].set(
+                vals, mode="drop"
+            )
+
+            # --- stage 4: per-cell 27-point gather from the fine volume
+            fx = 2 * cx[:, None] + offs[None, :, 0]
+            fy = 2 * cy[:, None] + offs[None, :, 1]
+            fz = 2 * cz[:, None] + offs[None, :, 2]
+            v27 = vol[((fx * P) + fy) * P + fz].reshape(K_c, 3, 3, 3)
 
             # each coarse cell holds 2x2x2 fine cells; corner bit order
             # matches the marching kernel (bit 0 -> +x, 1 -> +y, 2 -> +z)
@@ -330,7 +373,7 @@ class MeshGenerator:
             ids = (fcx * Cf_ax + fcy) * Cf_ax + fcz
             vals8 = corners.reshape(-1, 8)[fsel]
             return (ids.astype(jnp.int32), vals8.astype(jnp.float16),
-                    count_f, count_c)
+                    count_f, count_c, count_p)
 
         return refine_band
 
@@ -529,16 +572,17 @@ class MeshGenerator:
                 import jax
 
                 t0 = time.time()
-                for tier, (K_c, K_f) in enumerate(self._refine_tiers):
-                    ids, vals, count_f, count_c = jax.device_get(
+                for tier, (K_c, K_f, K_p) in enumerate(self._refine_tiers):
+                    ids, vals, count_f, count_c, count_p = jax.device_get(
                         self._refine_band_fn(tier)(self.params, self._planes)
                     )
-                    if int(count_c) <= K_c and int(count_f) <= K_f:
+                    if (int(count_c) <= K_c and int(count_f) <= K_f
+                            and int(count_p) <= K_p):
                         stats["time (eval points)"] = time.time() - t0
                         stats["refine (device)"] = True
                         stats["refine tier"] = tier
-                        stats["refine cells (coarse/fine)"] = (
-                            int(count_c), int(count_f)
+                        stats["refine cells (coarse/fine/points)"] = (
+                            int(count_c), int(count_f), int(count_p)
                         )
                         cf = int(count_f)
                         mesh = self._mesh_from_refine_band(

@@ -161,7 +161,7 @@ class TestStrategies:
         ref = gen.generate_mesh(scene_tsdf, return_stats=False)
         gen2 = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
                              strategy="refine")
-        gen2._refine_tiers = [(8, 8)]  # force overflow in every tier
+        gen2._refine_tiers = [(8, 8, 8)]  # force overflow in every tier
         gen2._refine_band_cache = {}
         m, stats = gen2.generate_mesh(scene_tsdf)
         assert not stats.get("refine (device)")
