@@ -449,7 +449,7 @@ def section_meshgen(out: Collector):
             ts.append(time.perf_counter() - t0)
         hi = float(np.median(ts))
         log(f"mesh generation 256^3 (device refine): {hi * 1e3:.0f} ms/scene "
-            f"warm, {len(m.faces)} faces, bands {st['refine cells (coarse/fine/points)']}")
+            f"warm, {len(m.faces)} faces, bands {st['refine cells (band/points-per-level)']}")
         out.put(mesh_gen_256_ms_per_scene=round(hi * 1e3, 1))
 
     guarded("meshgen", run_meshgen, default=None)

@@ -52,9 +52,9 @@ class MeshGenerator:
         final_res = resolution0 * (2**upsampling_steps)
         if strategy == "auto":
             # one-shot dense decode wins while the lattice fits comfortably
-            # on device; above that the one-program device refinement (coarse
-            # dense at final/2 + sparse fine shell) is ~3x cheaper than the
-            # full-lattice decode (measured at 256^3, round 3)
+            # on device; above that the one-program device refinement chain
+            # (dense at resolution0 + sparse shell decode per level) beats
+            # the full-lattice decode (measured at 256^3, round 3)
             strategy = "dense" if final_res <= 128 else "refine"
         assert strategy in ("dense", "refine"), strategy
         self.strategy = strategy
@@ -65,18 +65,23 @@ class MeshGenerator:
         assert precision in ("fp32", "bf16"), precision
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.band_cells = 49152  # static device->host band buffer (cells)
-        # device-refine budgets: active coarse cells (dilated surface shell at
-        # final/2; measured ~1% straddle x ~3 from dilation at 128^3) and
-        # straddling fine cells (surface shell at final, ~4x the coarse band)
-        c_cells = final_res // 2 + 2  # padded coarse cells per axis
-        self.refine_coarse_cells = min(65536, c_cells**3)
-        self.refine_fine_cells = min(131072, 8 * self.refine_coarse_cells)
-        # unique fine lattice points decoded (dedup of the overlapping
-        # 3x3x3 stencils): a dilated ~3-cell-thick shell needs ~9.3 unique
-        # points per active coarse cell (28 new points per 3-cell column),
-        # vs 27 if each cell decoded its own stencil — budget 12x for margin
-        self.refine_point_cells = min(
-            12 * self.refine_coarse_cells, (2 * c_cells + 1) ** 3
+        # device-refine-chain budgets. At refinement level l (fine lattice
+        # r_l = resolution0 * 2^l) the program decodes only the lattice
+        # points touching active (straddle, 6-dilated) cells: ~9.3 unique
+        # stencil points per active cell (28 new points per 3-cell column;
+        # adjacent stencils share points), and the active shell scales with
+        # surface area ~ r^2. Budget the finest level like the measured
+        # one-level design (12x margin over the ~1%-straddle x3-dilation
+        # density seen at 128^3) and scale down 4x per coarser level.
+        top_cells = min(65536, (final_res // 2 + 1) ** 3)
+        # straddling FINE cells emitted as the band (surface shell at final)
+        self.refine_fine_cells = min(131072, 8 * top_cells)
+        self.refine_point_cells = tuple(
+            min(
+                (resolution0 * 2**lvl + 1) ** 3,
+                max(32768, (12 * top_cells) >> (2 * (upsampling_steps - lvl))),
+            )
+            for lvl in range(1, upsampling_steps + 1)
         )
         self._planes = None
         # jitted once: unjitted apply would dispatch op-by-op (very slow on
@@ -98,12 +103,11 @@ class MeshGenerator:
         # full tier only runs on overflow (then the host path as last resort)
         self._refine_tiers = (
             [
-                (self.refine_coarse_cells // 2, self.refine_fine_cells // 2,
-                 self.refine_point_cells // 2),
-                (self.refine_coarse_cells, self.refine_fine_cells,
-                 self.refine_point_cells),
+                (self.refine_fine_cells // 2,
+                 tuple(k // 2 for k in self.refine_point_cells)),
+                (self.refine_fine_cells, self.refine_point_cells),
             ]
-            if upsampling_steps >= 1 and final_res % 2 == 0 else []
+            if upsampling_steps >= 1 else []
         )
         self._refine_band_cache = {}
         self._jit_cache = {}
@@ -197,33 +201,38 @@ class MeshGenerator:
         import jax
 
         if tier not in self._refine_band_cache:
-            K_c, K_f, K_p = self._refine_tiers[tier]
+            K_f, K_ps = self._refine_tiers[tier]
             self._refine_band_cache[tier] = jax.jit(
-                self._build_refine_band_eval(K_c, K_f, K_p)
+                self._build_refine_chain_eval(K_f, K_ps)
             )
         return self._refine_band_cache[tier]
 
-    def _build_refine_band_eval(self, K_c: int | None = None,
-                                K_f: int | None = None,
-                                K_p: int | None = None):
-        """One-level hierarchical surface refinement as a SINGLE device
+    def _build_refine_chain_eval(self, K_f: int, K_ps: tuple):
+        """Multi-level hierarchical surface refinement as a SINGLE device
         program (role of the reference's MISE octree, mise.pyx:33-44, driven
-        by generation.py:126-142).
+        by generation.py:126-142) — the device mirror of refine_grid
+        (geometry/refine.py), level for level.
 
-        TPU-first redesign: the incremental octree becomes four fixed-shape
-        stages fused into one XLA program — (1) dense coarse decode at
-        final/2 with the lattice-factorized trunk, (2) compaction of the
-        dilated straddle-cell shell into a static (K_c,) buffer, (3) sparse
-        decode of the UNIQUE fine lattice points those cells' 3x3x3 stencils
-        touch (decode_lattice_points: row gathers + the same fused-head FC
-        trunk; adjacent cells share stencil points, so dedup cuts the decoded
-        rows ~2.5x vs per-cell stencils), scattered into a dense fine volume,
-        (4) per-cell 27-point gather from that volume, emitting the
-        straddling FINE cells in the dense path's compact band format. The
-        host fetches only ~20 B per surface cell; nothing else crosses the
-        link. Returns (fine_cell_ids, fine_corner_vals f16, fine_count,
-        coarse_count, point_count) — any count exceeding its budget makes
-        the caller fall back to the next tier or the exact host path.
+        TPU-first redesign: the incremental octree becomes one fixed-shape
+        XLA program. A dense decode runs at ``resolution0`` only (the
+        round-3 one-level version decoded dense at final/2, which at 256^3
+        was ~80% of its decode rows), then each refinement level doubles the
+        lattice: (1) straddle cells of the running dense grid, dilated by
+        one (6-neighborhood, matching refine_grid's binary_dilation), (2)
+        trilinear upsample — decided regions keep interpolated values,
+        exactly refine_grid's contract, and since trilinear interpolation
+        is convex, a non-straddling cell can never produce straddling
+        children, (3) the UNIQUE fine lattice points touching active cells
+        (f = 2c + off, off in {0,1,2}^3 — the mask is the active mask
+        upsampled onto even positions via lax.pad interior padding, OR-ed
+        over the 27 stencil shifts; adjacent cells share stencil points, so
+        ~9.3 points decode per cell instead of 27) compact to a static
+        (K_p,) buffer via nonzero(size=K_p) and decode in one
+        ``decode_lattice_points`` call, (4) scatter back into the dense
+        grid. The final grid emits the dense path's compact band format:
+        ~20 B per straddling cell crosses the link, nothing else. Any
+        level's touched-point count exceeding its budget makes the caller
+        fall back to the next tier or the exact host path.
         """
         import jax
 
@@ -231,90 +240,47 @@ class MeshGenerator:
         from giga_tpu.inference.planner import _lattice_features
 
         cfg = self.net.cfg
-        final = self.resolution0 * (2 ** self.upsampling_steps)
-        half = final // 2
-        n_c, n_f = half + 1, final + 1  # lattice points per axis
-        C_c = n_c + 1  # padded coarse cells per axis
-        Cf_ax = 2 * C_c  # padded fine cells per axis
         box_size = 1.0 + self.padding
-        coords_f = jnp.linspace(-box_size / 2, box_size / 2, n_f, dtype=jnp.float32)
         logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
-        OUT = -6.0e4  # fp16-safe "outside" fill
-        if K_c is None:
-            K_c, K_f = self.refine_coarse_cells, self.refine_fine_cells
-        if K_p is None:
-            K_p = self.refine_point_cells
-        dense_c = self._build_dense_eval(n_c)
-        # static 27-point stencil offsets, x-major (matches v27 reshape)
-        offs = np.stack(
-            np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij"),
-            axis=-1,
-        ).reshape(-1, 3)
+        OUT = -6.0e4  # fp16-safe "outside" fill for the boundary pad
+        dense0 = self._build_dense_eval(self.resolution0 + 1)
+        S = self.upsampling_steps
 
-        def refine_band(params, planes):
-            # --- stage 1: coarse dense logits on the padded lattice
-            g = jnp.pad(dense_c(params, planes).astype(jnp.float32), 1,
-                        constant_values=OUT)
-            inside = g > logit_th
+        def straddle_cells(g):
+            n = g.shape[0]
+            ins = g > logit_th
             s = None
             for dx in (0, 1):
                 for dy in (0, 1):
                     for dz in (0, 1):
-                        v = inside[dx : C_c + dx, dy : C_c + dy, dz : C_c + dz]
-                        s = v.astype(jnp.int32) if s is None else s + v
-            active = (s > 0) & (s < 8)
-            # dilate by one cell (6-neighborhood, like the host path) so
-            # sub-coarse-cell surface detail survives refinement
-            ap = jnp.pad(active, 1)
-            d = active
+                        v = ins[dx : n - 1 + dx, dy : n - 1 + dy,
+                                dz : n - 1 + dz].astype(jnp.int32)
+                        s = v if s is None else s + v
+            return (s > 0) & (s < 8)
+
+        def dilate6(a):
+            n = a.shape[0]
+            ap = jnp.pad(a, 1)
+            d = a
             for ax in range(3):
-                idx_lo = [slice(1, C_c + 1)] * 3
-                idx_hi = [slice(1, C_c + 1)] * 3
-                idx_lo[ax] = slice(0, C_c)
-                idx_hi[ax] = slice(2, C_c + 2)
-                d = d | ap[tuple(idx_lo)] | ap[tuple(idx_hi)]
-            count_c = d.sum(dtype=jnp.int32)
+                lo = [slice(1, n + 1)] * 3
+                hi = [slice(1, n + 1)] * 3
+                lo[ax] = slice(0, n)
+                hi[ax] = slice(2, n + 2)
+                d = d | ap[tuple(lo)] | ap[tuple(hi)]
+            return d
 
-            # --- stage 2: compact active cells to a static buffer
-            (cidx,) = jnp.nonzero(d.reshape(-1), size=K_c, fill_value=0)
-            valid_c = jnp.arange(K_c, dtype=jnp.int32) < count_c
-            cx = cidx // (C_c * C_c)
-            cy = (cidx // C_c) % C_c
-            cz = cidx % C_c
+        def upsample_double(g):
+            # trilinear (m+1)^3 -> (2m+1)^3 (refine.py::_upsample_double);
+            # interleave by stack+reshape — XLA fuses it, no scatter
+            for ax in range(3):
+                a = jnp.moveaxis(g, ax, 0)
+                mid = 0.5 * (a[:-1] + a[1:])
+                body = jnp.stack([a[:-1], mid], 1).reshape((-1,) + a.shape[1:])
+                g = jnp.moveaxis(jnp.concatenate([body, a[-1:]], 0), 0, ax)
+            return g
 
-            # --- stage 3: decode each UNIQUE fine lattice point once.
-            # Padded-fine point f = 2c + off (off in 0..2), so the needed-
-            # point mask is d upsampled onto even positions (lax.pad with
-            # interior padding) OR-ed over the 27 stencil shifts — dense VPU
-            # work, no scatter. Adjacent active cells share stencil points
-            # (a dilated shell needs ~9-10 unique points per cell, not 27),
-            # so this cuts the fine-decode rows ~2.5x.
-            P = 2 * C_c + 1  # padded fine lattice points per axis
-            base = jax.lax.pad(d, False, [(0, 2, 1)] * 3)  # base[2c] = d[c]
-            bp = jnp.pad(base, ((2, 0), (2, 0), (2, 0)))
-            m = None
-            for ox in (0, 1, 2):
-                for oy in (0, 1, 2):
-                    for oz in (0, 1, 2):
-                        v = bp[2 - ox : 2 - ox + P,
-                               2 - oy : 2 - oy + P,
-                               2 - oz : 2 - oz + P]
-                        m = v if m is None else m | v
-            count_p = m.sum(dtype=jnp.int32)
-            (pidx,) = jnp.nonzero(m.reshape(-1), size=K_p, fill_value=0)
-            px = pidx // (P * P)
-            py = (pidx // P) % P
-            pz = pidx % P
-            # real fine index u = f - 2 (points outside the box stay OUT)
-            ux, uy, uz = px - 2, py - 2, pz - 2
-            inbox = (
-                (ux >= 0) & (ux < n_f) & (uy >= 0) & (uy < n_f)
-                & (uz >= 0) & (uz < n_f)
-            )
-            gx = jnp.clip(ux, 0, n_f - 1)
-            gy = jnp.clip(uy, 0, n_f - 1)
-            gz = jnp.clip(uz, 0, n_f - 1)
-
+        def refine_chain(params, planes):
             p = params["params"]["decoder_occ"]
             planes_d = {t: v[0] for t, v in planes.items()}
             if self.compute_dtype is not None:
@@ -322,60 +288,76 @@ class MeshGenerator:
                 planes_d = {
                     t: v.astype(self.compute_dtype) for t, v in planes_d.items()
                 }
-            feats = _lattice_features(planes_d, coords_f, cfg)
-            vals = decode_lattice_points(
-                p, feats, coords_f, gx, gy, gz, cfg.decoder.n_blocks
-            )[0, :, 0]
-            valid_p = jnp.arange(K_p, dtype=jnp.int32) < count_p
-            vals = jnp.where(inbox & valid_p, vals.astype(jnp.float32), OUT)
-            # every valid active cell's stencil point is in the mask by
-            # construction; fill slots all write OUT at flat index 0
-            vol = jnp.full((P * P * P,), OUT, jnp.float32).at[pidx].set(
-                vals, mode="drop"
-            )
 
-            # --- stage 4: per-cell 27-point gather from the fine volume
-            fx = 2 * cx[:, None] + offs[None, :, 0]
-            fy = 2 * cy[:, None] + offs[None, :, 1]
-            fz = 2 * cz[:, None] + offs[None, :, 2]
-            v27 = vol[((fx * P) + fy) * P + fz].reshape(K_c, 3, 3, 3)
+            g = dense0(params, planes).astype(jnp.float32)
+            counts_p = []
+            for lvl in range(1, S + 1):
+                K_p = K_ps[lvl - 1]
+                active = dilate6(straddle_cells(g))
+                g = upsample_double(g)
+                P = g.shape[0]  # fine lattice points per axis this level
+                # base[2c] = active[c]; touch[f] = OR_{off} base[f - off]
+                base = jax.lax.pad(active, False, [(0, 2, 1)] * 3)
+                bp = jnp.pad(base, ((2, 0),) * 3)
+                m = None
+                for ox in (0, 1, 2):
+                    for oy in (0, 1, 2):
+                        for oz in (0, 1, 2):
+                            v = bp[2 - ox : 2 - ox + P,
+                                   2 - oy : 2 - oy + P,
+                                   2 - oz : 2 - oz + P]
+                            m = v if m is None else m | v
+                count_p = m.sum(dtype=jnp.int32)
+                counts_p.append(count_p)
+                (pidx,) = jnp.nonzero(m.reshape(-1), size=K_p, fill_value=0)
+                valid = jnp.arange(K_p, dtype=jnp.int32) < count_p
+                px = pidx // (P * P)
+                py = (pidx // P) % P
+                pz = pidx % P
+                coords = jnp.linspace(
+                    -box_size / 2, box_size / 2, P, dtype=jnp.float32
+                )
+                feats = _lattice_features(planes_d, coords, cfg)
+                vals = decode_lattice_points(
+                    p, feats, coords, px, py, pz, cfg.decoder.n_blocks
+                )[0, :, 0]
+                flat = g.reshape(-1)
+                # overflow slots keep the interpolated value (the tier is
+                # rejected on overflow anyway; this just keeps writes sane)
+                vals = jnp.where(valid, vals.astype(jnp.float32), flat[pidx])
+                g = flat.at[pidx].set(vals, mode="drop").reshape(P, P, P)
 
-            # each coarse cell holds 2x2x2 fine cells; corner bit order
-            # matches the marching kernel (bit 0 -> +x, 1 -> +y, 2 -> +z)
-            corners = jnp.stack(
+            # band emission over the final dense grid — identical to the
+            # dense path's format, so the host reuses _mesh_from_band
+            n = g.shape[0]
+            gp = jnp.pad(g, 1, constant_values=OUT)
+            ins = gp > logit_th
+            C = n + 1
+            s = None
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        v = ins[dx : C + dx, dy : C + dy,
+                                dz : C + dz].astype(jnp.int32)
+                        s = v if s is None else s + v
+            active_f = (s > 0) & (s < 8)
+            flat_f = active_f.reshape(-1)
+            count_f = flat_f.sum(dtype=jnp.int32)
+            (idx,) = jnp.nonzero(flat_f, size=K_f, fill_value=0)
+            x = idx // (C * C)
+            y = (idx // C) % C
+            z = idx % C
+            vals8 = jnp.stack(
                 [
-                    jnp.stack(
-                        [
-                            v27[
-                                :,
-                                (e & 1) + (ci & 1),
-                                ((e >> 1) & 1) + ((ci >> 1) & 1),
-                                ((e >> 2) & 1) + ((ci >> 2) & 1),
-                            ]
-                            for ci in range(8)
-                        ],
-                        axis=-1,
-                    )
-                    for e in range(8)
+                    gp[x + (ci & 1), y + ((ci >> 1) & 1), z + ((ci >> 2) & 1)]
+                    for ci in range(8)
                 ],
-                axis=1,
-            )  # (K_c, 8 fine cells, 8 corners)
-            ncorn = (corners > logit_th).sum(-1)
-            strad = (ncorn > 0) & (ncorn < 8) & valid_c[:, None]
-            flatf = strad.reshape(-1)
-            count_f = flatf.sum(dtype=jnp.int32)
-            (fsel,) = jnp.nonzero(flatf, size=K_f, fill_value=0)
-            cell_of = fsel // 8
-            e = fsel % 8
-            fcx = 2 * cx[cell_of] + (e & 1)
-            fcy = 2 * cy[cell_of] + ((e >> 1) & 1)
-            fcz = 2 * cz[cell_of] + ((e >> 2) & 1)
-            ids = (fcx * Cf_ax + fcy) * Cf_ax + fcz
-            vals8 = corners.reshape(-1, 8)[fsel]
-            return (ids.astype(jnp.int32), vals8.astype(jnp.float16),
-                    count_f, count_c, count_p)
+                axis=-1,
+            )
+            return (idx.astype(jnp.int32), vals8.astype(jnp.float16),
+                    count_f, jnp.stack(counts_p))
 
-        return refine_band
+        return refine_chain
 
     def encode(self, tsdf_grid: np.ndarray):
         """(R, R, R) or (1, R, R, R) TSDF -> cached feature planes."""
@@ -572,20 +554,21 @@ class MeshGenerator:
                 import jax
 
                 t0 = time.time()
-                for tier, (K_c, K_f, K_p) in enumerate(self._refine_tiers):
-                    ids, vals, count_f, count_c, count_p = jax.device_get(
+                for tier, (K_f, K_ps) in enumerate(self._refine_tiers):
+                    ids, vals, count_f, counts_p = jax.device_get(
                         self._refine_band_fn(tier)(self.params, self._planes)
                     )
-                    if (int(count_c) <= K_c and int(count_f) <= K_f
-                            and int(count_p) <= K_p):
+                    if int(count_f) <= K_f and all(
+                        int(c) <= k for c, k in zip(counts_p, K_ps)
+                    ):
                         stats["time (eval points)"] = time.time() - t0
                         stats["refine (device)"] = True
                         stats["refine tier"] = tier
-                        stats["refine cells (coarse/fine/points)"] = (
-                            int(count_c), int(count_f), int(count_p)
+                        stats["refine cells (band/points-per-level)"] = (
+                            int(count_f), tuple(int(c) for c in counts_p)
                         )
                         cf = int(count_f)
-                        mesh = self._mesh_from_refine_band(
+                        mesh = self._mesh_from_band(
                             ids[:cf], vals[:cf], logit_th, box_size, stats
                         )
                         break
@@ -621,26 +604,6 @@ class MeshGenerator:
         )
         stats["time (marching cubes)"] = time.time() - t0
         verts = (verts - 1.0) / (n - 1)  # undo padding, [0, 1]
-        verts = box_size * (verts - 0.5)
-        return self._postprocess(TriMesh(verts, faces), stats)
-
-    def _mesh_from_refine_band(self, cell_ids, corner_vals, logit_th: float,
-                               box_size: float, stats: dict) -> TriMesh:
-        """Triangulate the device-refined fine band. Fine cell ids live on
-        the doubled padded-coarse lattice: 2*(n_c+1) cells per axis, where
-        padded-fine point f maps to real fine index u = f - 2."""
-        from giga_tpu.geometry.native import marching_tetrahedra_cells
-
-        t0 = time.time()
-        final = self.resolution0 * (2 ** self.upsampling_steps)
-        n_c, n_f = final // 2 + 1, final + 1
-        P_f = 2 * (n_c + 1) + 1  # padded fine lattice points per axis
-        verts, faces = marching_tetrahedra_cells(
-            cell_ids.astype(np.int64), corner_vals.astype(np.float64),
-            (P_f, P_f, P_f), logit_th,
-        )
-        stats["time (marching cubes)"] = time.time() - t0
-        verts = (verts - 2.0) / (n_f - 1)  # undo the 2-point pad, [0, 1]
         verts = box_size * (verts - 0.5)
         return self._postprocess(TriMesh(verts, faces), stats)
 

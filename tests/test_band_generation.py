@@ -83,7 +83,8 @@ def geo_model():
 def scene_tsdf():
     from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
 
-    return mesh_to_tsdf(random_scene(np.random.RandomState(0), 0.3), 0.3, 40)
+    r = np.random.RandomState(0)
+    return mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r)
 
 
 class TestStrategies:
@@ -118,7 +119,8 @@ class TestStrategies:
         net, params = geo_model
         gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
                             strategy="dense")
-        other = mesh_to_tsdf(random_scene(np.random.RandomState(3), 0.3), 0.3, 40)
+        r = np.random.RandomState(3)
+        other = mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r)
         batch = np.stack([np.squeeze(scene_tsdf), np.squeeze(other)])
         meshes = gen.generate_meshes(batch)
         assert len(meshes) == 2
@@ -150,6 +152,26 @@ class TestStrategies:
         assert np.quantile(d, 0.99) < 0.05 * cell
         assert d.max() < 1.5 * cell
 
+    def test_multilevel_device_refine_matches_host(self, geo_model, scene_tsdf):
+        """The refine chain with 2 levels (dense at res0, two sparse
+        refinements) reproduces the host refine_grid surface."""
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=8, upsampling_steps=2,
+                            strategy="refine")
+        m_dev, stats = gen.generate_mesh(scene_tsdf)
+        assert stats.get("refine (device)")
+        band, pts = stats["refine cells (band/points-per-level)"]
+        assert len(pts) == 2 and pts[1] > pts[0] > 0
+        gen._refine_tiers = []  # force the host refine_grid route
+        m_host = gen.generate_mesh(scene_tsdf, return_stats=False)
+        assert abs(len(m_dev.faces) - len(m_host.faces)) <= 0.01 * len(m_host.faces)
+        from scipy.spatial import cKDTree
+
+        cell = 1.0 / 32
+        d, _ = cKDTree(m_host.vertices).query(m_dev.vertices)
+        assert np.quantile(d, 0.99) < 0.05 * cell
+        assert d.max() < 1.5 * cell
+
     def test_refine_budget_overflow_falls_back(self, geo_model, scene_tsdf):
         """Exceeding the fine-cell budget must fall back to the exact host
         path, not truncate the surface."""
@@ -161,7 +183,7 @@ class TestStrategies:
         ref = gen.generate_mesh(scene_tsdf, return_stats=False)
         gen2 = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
                              strategy="refine")
-        gen2._refine_tiers = [(8, 8, 8)]  # force overflow in every tier
+        gen2._refine_tiers = [(8, (8,))]  # force overflow in every tier
         gen2._refine_band_cache = {}
         m, stats = gen2.generate_mesh(scene_tsdf)
         assert not stats.get("refine (device)")
