@@ -196,16 +196,17 @@ class MeshGenerator:
 
         return band
 
-    def _refine_band_fn(self, tier: int):
-        """Lazily-built jitted refine program for budget tier ``tier``."""
+    def _refine_band_fn(self, tier: int, batched: bool = False):
+        """Lazily-built jitted refine-chain program for budget tier ``tier``
+        (``batched``: the (params, (B, R, R, R)) variant)."""
         import jax
 
-        if tier not in self._refine_band_cache:
+        key = (tier, batched)
+        if key not in self._refine_band_cache:
             K_f, K_ps = self._refine_tiers[tier]
-            self._refine_band_cache[tier] = jax.jit(
-                self._build_refine_chain_eval(K_f, K_ps)
-            )
-        return self._refine_band_cache[tier]
+            single, batch = self._build_refine_chain_eval(K_f, K_ps)
+            self._refine_band_cache[key] = jax.jit(batch if batched else single)
+        return self._refine_band_cache[key]
 
     def _build_refine_chain_eval(self, K_f: int, K_ps: tuple):
         """Multi-level hierarchical surface refinement as a SINGLE device
@@ -233,17 +234,26 @@ class MeshGenerator:
         ~20 B per straddling cell crosses the link, nothing else. Any
         level's touched-point count exceeding its budget makes the caller
         fall back to the next tier or the exact host path.
+
+        Returns (single, batched): ``single(params, planes)`` for the
+        cached-encoding path and ``batched(params, (B, R, R, R) grids)``
+        which encodes and vmaps the same per-scene core.
         """
         import jax
 
-        from giga_tpu.inference.dense_decode import decode_lattice_points
+        from giga_tpu.inference.dense_decode import (
+            decode_dense,
+            decode_lattice_points,
+        )
         from giga_tpu.inference.planner import _lattice_features
 
         cfg = self.net.cfg
         box_size = 1.0 + self.padding
         logit_th = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
         OUT = -6.0e4  # fp16-safe "outside" fill for the boundary pad
-        dense0 = self._build_dense_eval(self.resolution0 + 1)
+        coords0 = jnp.linspace(
+            -box_size / 2, box_size / 2, self.resolution0 + 1, dtype=jnp.float32
+        )
         S = self.upsampling_steps
 
         def straddle_cells(g):
@@ -280,16 +290,13 @@ class MeshGenerator:
                 g = jnp.moveaxis(jnp.concatenate([body, a[-1:]], 0), 0, ax)
             return g
 
-        def refine_chain(params, planes):
-            p = params["params"]["decoder_occ"]
-            planes_d = {t: v[0] for t, v in planes.items()}
-            if self.compute_dtype is not None:
-                p = jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
-                planes_d = {
-                    t: v.astype(self.compute_dtype) for t, v in planes_d.items()
-                }
-
-            g = dense0(params, planes).astype(jnp.float32)
+        def chain_core(p, planes_d):
+            # per-scene chain on already-cast decoder params + planes; the
+            # batched path vmaps this over the scene axis
+            feats0 = _lattice_features(planes_d, coords0, cfg)
+            g = decode_dense(p, feats0, coords0, cfg.decoder.n_blocks)[
+                0, ..., 0
+            ].astype(jnp.float32)
             counts_p = []
             for lvl in range(1, S + 1):
                 K_p = K_ps[lvl - 1]
@@ -357,7 +364,27 @@ class MeshGenerator:
             return (idx.astype(jnp.int32), vals8.astype(jnp.float16),
                     count_f, jnp.stack(counts_p))
 
-        return refine_chain
+        def cast(params, planes_d):
+            p = params["params"]["decoder_occ"]
+            if self.compute_dtype is not None:
+                p = jax.tree.map(lambda a: a.astype(self.compute_dtype), p)
+                planes_d = {
+                    t: v.astype(self.compute_dtype) for t, v in planes_d.items()
+                }
+            return p, planes_d
+
+        def refine_chain(params, planes):
+            p, planes_d = cast(params, {t: v[0] for t, v in planes.items()})
+            return chain_core(p, planes_d)
+
+        def refine_chain_batched(params, grids):
+            planes = self.net.apply(
+                params, grids.astype(jnp.float32), method="encode"
+            )
+            p, planes_d = cast(params, planes)
+            return jax.vmap(chain_core, in_axes=(None, 0))(p, planes_d)
+
+        return refine_chain, refine_chain_batched
 
     def encode(self, tsdf_grid: np.ndarray):
         """(R, R, R) or (1, R, R, R) TSDF -> cached feature planes."""
@@ -475,8 +502,9 @@ class MeshGenerator:
         Same surface as ``generate_mesh`` per scene, but the occupancy
         decode + band extraction for the whole batch is ONE device program
         and ONE fetch (fixed per-call link overheads amortize ~B-fold).
-        Requires the dense strategy and the native kernel; falls back to a
-        per-scene loop otherwise.
+        Both strategies batch (the refine chain is vmapped per scene at the
+        half-budget tier; scenes overflowing it fall back individually);
+        without the native kernel a per-scene loop runs instead.
         """
         import jax
 
@@ -485,8 +513,43 @@ class MeshGenerator:
         grids = np.asarray(tsdf_grids, np.float32)
         assert grids.ndim == 4, "expected (B, R, R, R)"
         B = grids.shape[0]
-        if self.strategy != "dense" or get_lib() is None:
+        triplane = "grid" not in self.net.cfg.encoder.plane_types
+        if get_lib() is None or (
+            self.strategy == "refine" and not (self._refine_tiers and triplane)
+        ):
             return [self.generate_mesh(g, return_stats=False) for g in grids]
+
+        if self.strategy == "refine":
+            n = self.resolution0 * (2**self.upsampling_steps) + 1
+            K_f, K_ps = self._refine_tiers[0]
+            ids, vals, count_f, counts_p = jax.device_get(
+                self._refine_band_fn(0, batched=True)(
+                    self.params, jnp.asarray(grids)
+                )
+            )
+            logit_th = float(
+                np.log(self.threshold) - np.log(1.0 - self.threshold)
+            )
+            box_size = 1.0 + self.padding
+            meshes = []
+            for b in range(B):
+                if int(count_f[b]) <= K_f and all(
+                    int(c) <= k for c, k in zip(counts_p[b], K_ps)
+                ):
+                    cnt = int(count_f[b])
+                    verts, faces = marching_tetrahedra_cells(
+                        ids[b, :cnt].astype(np.int64),
+                        vals[b, :cnt].astype(np.float64),
+                        (n + 2, n + 2, n + 2), logit_th,
+                    )
+                    verts = (verts - 1.0) / (n - 1)
+                    verts = box_size * (verts - 0.5)
+                    meshes.append(self._postprocess(TriMesh(verts, faces), {}))
+                else:  # half-tier overflow: exact per-scene fallback
+                    meshes.append(
+                        self.generate_mesh(grids[b], return_stats=False)
+                    )
+            return meshes
 
         key = ("band_batched", B)
         if key not in self._jit_cache:

@@ -172,6 +172,27 @@ class TestStrategies:
         assert np.quantile(d, 0.99) < 0.05 * cell
         assert d.max() < 1.5 * cell
 
+    def test_batched_refine_matches_per_scene(self, geo_model, scene_tsdf):
+        """generate_meshes with strategy='refine' (vmapped chain, one
+        dispatch) == generate_mesh per scene."""
+        from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
+
+        net, params = geo_model
+        gen = MeshGenerator(net, params, resolution0=16, upsampling_steps=1,
+                            strategy="refine")
+        r = np.random.RandomState(3)
+        other = mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r)
+        batch = np.stack([np.squeeze(scene_tsdf), np.squeeze(other)])
+        meshes = gen.generate_meshes(batch)
+        assert len(meshes) == 2
+        for b in range(2):
+            ref = gen.generate_mesh(batch[b], return_stats=False)
+            assert len(meshes[b].faces) == len(ref.faces)
+            np.testing.assert_allclose(
+                np.sort(meshes[b].vertices, axis=0),
+                np.sort(ref.vertices, axis=0), atol=5e-3,
+            )
+
     def test_refine_budget_overflow_falls_back(self, geo_model, scene_tsdf):
         """Exceeding the fine-cell budget must fall back to the exact host
         path, not truncate the surface."""
