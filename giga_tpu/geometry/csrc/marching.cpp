@@ -14,7 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
-#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -26,10 +26,71 @@ static const int TETS[6][4] = {
     {0, 2, 6, 7}, {0, 6, 4, 7}, {0, 4, 5, 7},
 };
 
+// Open-addressing hash map (u64 key -> i64 value) for edge->vertex dedup.
+// std::unordered_map's node allocations dominated the sparse-band profile
+// (~1.9 us/cell at 256^3); linear probing over flat arrays is ~3x faster.
+// Key 0 doubles as the empty sentinel — impossible for real edges, since the
+// packed key (lo_gid << 32) | hi_gid always has hi_gid > lo_gid >= 0.
+struct FlatHash {
+    struct Slot {  // key+value share a cache line: one miss per probe
+        uint64_t key;
+        int64_t val;
+    };
+    std::vector<Slot> slots;
+    uint64_t mask = 0;
+    size_t count = 0;
+
+    void reserve(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;  // load factor <= 0.5
+        if (cap <= slots.size()) return;
+        slots.assign(cap, Slot{0, 0});
+        mask = cap - 1;
+    }
+
+    static inline size_t hash(uint64_t key) {
+        uint64_t h = key * 0x9E3779B97F4A7C15ull;
+        return (size_t)(h ^ (h >> 29));
+    }
+
+    void grow() {
+        std::vector<Slot> old(std::move(slots));
+        size_t cap = old.empty() ? 1024 : old.size() * 2;
+        slots.assign(cap, Slot{0, 0});
+        mask = cap - 1;
+        for (const Slot& s : old) {
+            if (!s.key) continue;
+            size_t j = hash(s.key) & mask;
+            while (slots[j].key) j = (j + 1) & mask;
+            slots[j] = s;
+        }
+    }
+
+    // Insert key -> fresh_val unless present; returns the stored value.
+    int64_t get_or_insert(uint64_t key, int64_t fresh_val, bool* inserted) {
+        if ((count + 1) * 2 > slots.size()) grow();
+        size_t i = hash(key) & mask;
+        while (true) {
+            if (slots[i].key == 0) {
+                slots[i].key = key;
+                slots[i].val = fresh_val;
+                ++count;
+                *inserted = true;
+                return fresh_val;
+            }
+            if (slots[i].key == key) {
+                *inserted = false;
+                return slots[i].val;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
 struct MeshBuilder {
     std::vector<double> verts;
     std::vector<int64_t> tris;
-    std::unordered_map<uint64_t, int64_t> edge_to_vertex;
+    FlatHash edge_to_vertex;
 
     // grid point linear ids of edge endpoints -> dedup key
     int64_t vertex_on_edge(int64_t ga, int64_t gb, const double* pa, const double* pb,
@@ -41,15 +102,15 @@ struct MeshBuilder {
         }
         // exact packing: grid ids are < 2^32 for any realistic grid
         uint64_t key = ((uint64_t)ga << 32) | (uint64_t)gb;
-        auto it = edge_to_vertex.find(key);
-        if (it != edge_to_vertex.end()) return it->second;
+        bool inserted;
+        int64_t idx = edge_to_vertex.get_or_insert(
+            key, (int64_t)(verts.size() / 3), &inserted);
+        if (!inserted) return idx;
         double t = (iso - va) / (vb - va);
         t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
-        int64_t idx = (int64_t)(verts.size() / 3);
         verts.push_back(pa[0] + t * (pb[0] - pa[0]));
         verts.push_back(pa[1] + t * (pb[1] - pa[1]));
         verts.push_back(pa[2] + t * (pb[2] - pa[2]));
-        edge_to_vertex.emplace(key, idx);
         return idx;
     }
 
@@ -61,6 +122,23 @@ struct MeshBuilder {
     }
 };
 
+// cube occupancy code (8 bits, bit c set when corner c is inside) ->
+// per-tet 4-bit codes, precomputed once instead of re-testing corner values
+// for every (cell, tet) pair.
+struct TetCodeTable {
+    uint8_t code[256][6];
+    TetCodeTable() {
+        for (int cc = 0; cc < 256; ++cc)
+            for (int t = 0; t < 6; ++t) {
+                int c = 0;
+                for (int k = 0; k < 4; ++k)
+                    if (cc & (1 << TETS[t][k])) c |= 1 << k;
+                code[cc][t] = (uint8_t)c;
+            }
+    }
+};
+static const TetCodeTable TET_CODES;
+
 }  // namespace
 
 namespace {
@@ -70,32 +148,41 @@ namespace {
 // Winding is determined LOCALLY per tet: the normal must point from the
 // inside corners toward the outside corners (toward lower field values),
 // which needs no global grid probe — so it works on sparse cell lists.
-void march_cell(MeshBuilder& mb, const int64_t* corner_gid,
+void march_cell(MeshBuilder& mb, int cube_code, const int64_t* corner_gid,
                 const double (*corner_pos)[3], const double* corner_val,
                 double iso) {
+    const uint8_t* tet_codes = TET_CODES.code[cube_code];
+    // per-cell edge memo: each cube/face edge is shared by 2 of the 6 tets,
+    // so roughly half the global hash probes repeat within one cell
+    int64_t local_v[64];
+    for (int i = 0; i < 64; ++i) local_v[i] = -1;
     for (int t = 0; t < 6; ++t) {
-        const int* tet = TETS[t];
-        int code = 0;
-        for (int k = 0; k < 4; ++k)
-            if (corner_val[tet[k]] > iso) code |= 1 << k;
+        const int code = tet_codes[t];
         if (code == 0 || code == 15) continue;
+        const int* tet = TETS[t];
 
         int ins[4], outs[4], ni = 0, no = 0;
         for (int k = 0; k < 4; ++k)
             (code & (1 << k)) ? ins[ni++] = tet[k] : outs[no++] = tet[k];
 
         auto ev = [&](int a, int b) {
-            return mb.vertex_on_edge(
+            int lk = a < b ? (a << 3) | b : (b << 3) | a;
+            int64_t v = local_v[lk];
+            if (v >= 0) return v;
+            v = mb.vertex_on_edge(
                 corner_gid[a], corner_gid[b], corner_pos[a], corner_pos[b],
                 corner_val[a], corner_val[b], iso);
+            local_v[lk] = v;
+            return v;
         };
 
-        // outward reference direction: inside centroid -> outside centroid
+        // outward reference direction: inside centroid -> outside centroid,
+        // scaled by ni*no > 0 (only the sign of the dot product is used)
         double ref[3] = {0, 0, 0};
         for (int k = 0; k < no; ++k)
-            for (int d = 0; d < 3; ++d) ref[d] += corner_pos[outs[k]][d] / no;
+            for (int d = 0; d < 3; ++d) ref[d] += ni * corner_pos[outs[k]][d];
         for (int k = 0; k < ni; ++k)
-            for (int d = 0; d < 3; ++d) ref[d] -= corner_pos[ins[k]][d] / ni;
+            for (int d = 0; d < 3; ++d) ref[d] -= no * corner_pos[ins[k]][d];
 
         int64_t tri3[2][3];
         int ntri = 0;
@@ -148,7 +235,8 @@ int marching_tetrahedra_cells(const int64_t* cell_ids, const double* corner_vals
                               double** out_verts, int64_t* out_nverts,
                               int64_t** out_tris, int64_t* out_ntris) {
     MeshBuilder mb;
-    mb.edge_to_vertex.reserve((size_t)(ncells * 4));
+    // unique surface vertices measure ~3 per straddling cell
+    mb.edge_to_vertex.reserve((size_t)(ncells * 3));
     const int64_t cy = nz - 1;
     const int64_t cx = (ny - 1) * cy;
 
@@ -158,14 +246,18 @@ int marching_tetrahedra_cells(const int64_t* cell_ids, const double* corner_vals
         int64_t cid = cell_ids[i];
         int64_t x = cid / cx, rem = cid % cx;
         int64_t y = rem / cy, z = rem % cy;
+        const double* cv = corner_vals + 8 * i;
+        int cube_code = 0;
         for (int c = 0; c < 8; ++c) {
             int64_t px = x + (c & 1), py = y + ((c >> 1) & 1), pz = z + ((c >> 2) & 1);
             corner_gid[c] = (px * ny + py) * nz + pz;
             corner_pos[c][0] = (double)px;
             corner_pos[c][1] = (double)py;
             corner_pos[c][2] = (double)pz;
+            if (cv[c] > iso) cube_code |= 1 << c;
         }
-        march_cell(mb, corner_gid, corner_pos, corner_vals + 8 * i, iso);
+        if (cube_code == 0 || cube_code == 255) continue;
+        march_cell(mb, cube_code, corner_gid, corner_pos, cv, iso);
     }
 
     *out_nverts = (int64_t)(mb.verts.size() / 3);
@@ -197,7 +289,7 @@ int marching_tetrahedra(const double* grid, int64_t nx, int64_t ny, int64_t nz,
     for (int64_t x = 0; x + 1 < nx; ++x)
         for (int64_t y = 0; y + 1 < ny; ++y)
             for (int64_t z = 0; z + 1 < nz; ++z) {
-                bool any_in = false, any_out = false;
+                int cube_code = 0;
                 for (int c = 0; c < 8; ++c) {
                     int64_t cx = x + (c & 1), cy = y + ((c >> 1) & 1), cz = z + ((c >> 2) & 1);
                     corner_gid[c] = gid(cx, cy, cz);
@@ -205,15 +297,14 @@ int marching_tetrahedra(const double* grid, int64_t nx, int64_t ny, int64_t nz,
                     corner_pos[c][0] = (double)cx;
                     corner_pos[c][1] = (double)cy;
                     corner_pos[c][2] = (double)cz;
-                    (corner_val[c] > iso ? any_in : any_out) = true;
+                    if (corner_val[c] > iso) cube_code |= 1 << c;
                 }
-                if (!any_in || !any_out) continue;
+                if (cube_code == 0 || cube_code == 255) continue;
 
+                const uint8_t* tet_codes = TET_CODES.code[cube_code];
                 for (int t = 0; t < 6; ++t) {
                     const int* tet = TETS[t];
-                    int code = 0;
-                    for (int k = 0; k < 4; ++k)
-                        if (corner_val[tet[k]] > iso) code |= 1 << k;
+                    const int code = tet_codes[t];
                     if (code == 0 || code == 15) continue;
 
                     // collect inside/outside tet-corner indices
