@@ -89,7 +89,10 @@ def mesh_to_tsdf(mesh: TriMesh, size: float, resolution: int,
     tree = cKDTree(surf)
     lin = (np.arange(resolution) + 0.5) * voxel_size
     centers = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
-    dist, _ = tree.query(centers)
+    # bounded query: distances beyond the truncation band clip to +-1 anyway,
+    # and the upper bound prunes the kd-tree walk ~10x (scipy returns inf for
+    # out-of-bound points, which clips identically)
+    dist, _ = tree.query(centers, distance_upper_bound=trunc)
     inside = check_mesh_contains(mesh, centers)
     sdf = np.where(inside, -dist, dist)
     f = np.clip(sdf / trunc, -1.0, 1.0)
