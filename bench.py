@@ -414,7 +414,7 @@ def section_meshgen(out: Collector):
         geo_params = load_params("checkpoints/synthetic_giga_geo.msgpack")
         gen = MeshGenerator(geo_net, geo_params, resolution0=32, upsampling_steps=2)
         r = np.random.RandomState(0)
-        tsdf = mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40)
+        tsdf = mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r)
         gen.generate_mesh(tsdf, return_stats=False)  # compile
         ts = []
         for _ in range(5):
@@ -425,7 +425,8 @@ def section_meshgen(out: Collector):
         out.put(mesh_gen_ms_per_scene=round(single * 1e3, 1))
         B = 8
         batch = np.stack([
-            np.squeeze(mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40)) for _ in range(B)
+            np.squeeze(mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r))
+            for _ in range(B)
         ])
         gen.generate_meshes(batch)  # compile
         t0 = time.perf_counter()
@@ -436,8 +437,9 @@ def section_meshgen(out: Collector):
             f" batched B={B}: {batched * 1e3:.0f} ms/scene")
         out.put(mesh_gen_batched_ms_per_scene=round(batched * 1e3, 1))
 
-        # 256^3 via the single-program device refinement (VERDICT r2 #4):
-        # coarse dense at 128 + sparse fine decode of the surface shell
+        # 256^3 via the single-program device refine chain (VERDICT r2 #4):
+        # dense decode at resolution0 only, then per-level sparse shell
+        # decode up to 256^3 (generation.py _build_refine_chain_eval)
         gen256 = MeshGenerator(geo_net, geo_params, resolution0=32,
                                upsampling_steps=3, strategy="refine")
         m, st = gen256.generate_mesh(tsdf)  # compile

@@ -40,24 +40,17 @@ struct FlatHash {
     uint64_t mask = 0;
     size_t count = 0;
 
-    void reserve(size_t expected) {
-        size_t cap = 64;
-        while (cap < expected * 2) cap <<= 1;  // load factor <= 0.5
-        if (cap <= slots.size()) return;
-        slots.assign(cap, Slot{0, 0});
-        mask = cap - 1;
-    }
-
     static inline size_t hash(uint64_t key) {
         uint64_t h = key * 0x9E3779B97F4A7C15ull;
         return (size_t)(h ^ (h >> 29));
     }
 
-    void grow() {
+    // Rehash into a table of at least new_cap slots (keeps existing entries).
+    void rehash(size_t new_cap) {
+        if (new_cap <= slots.size()) return;
         std::vector<Slot> old(std::move(slots));
-        size_t cap = old.empty() ? 1024 : old.size() * 2;
-        slots.assign(cap, Slot{0, 0});
-        mask = cap - 1;
+        slots.assign(new_cap, Slot{0, 0});
+        mask = new_cap - 1;
         for (const Slot& s : old) {
             if (!s.key) continue;
             size_t j = hash(s.key) & mask;
@@ -65,6 +58,14 @@ struct FlatHash {
             slots[j] = s;
         }
     }
+
+    void reserve(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;  // load factor <= 0.5
+        rehash(cap);
+    }
+
+    void grow() { rehash(slots.empty() ? 1024 : slots.size() * 2); }
 
     // Insert key -> fresh_val unless present; returns the stored value.
     int64_t get_or_insert(uint64_t key, int64_t fresh_val, bool* inserted) {

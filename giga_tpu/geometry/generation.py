@@ -338,17 +338,8 @@ class MeshGenerator:
             # dense path's format, so the host reuses _mesh_from_band
             n = g.shape[0]
             gp = jnp.pad(g, 1, constant_values=OUT)
-            ins = gp > logit_th
             C = n + 1
-            s = None
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    for dz in (0, 1):
-                        v = ins[dx : C + dx, dy : C + dy,
-                                dz : C + dz].astype(jnp.int32)
-                        s = v if s is None else s + v
-            active_f = (s > 0) & (s < 8)
-            flat_f = active_f.reshape(-1)
+            flat_f = straddle_cells(gp).reshape(-1)
             count_f = flat_f.sum(dtype=jnp.int32)
             (idx,) = jnp.nonzero(flat_f, size=K_f, fill_value=0)
             x = idx // (C * C)
@@ -537,18 +528,14 @@ class MeshGenerator:
                     int(c) <= k for c, k in zip(counts_p[b], K_ps)
                 ):
                     cnt = int(count_f[b])
-                    verts, faces = marching_tetrahedra_cells(
-                        ids[b, :cnt].astype(np.int64),
-                        vals[b, :cnt].astype(np.float64),
-                        (n + 2, n + 2, n + 2), logit_th,
-                    )
-                    verts = (verts - 1.0) / (n - 1)
-                    verts = box_size * (verts - 0.5)
-                    meshes.append(self._postprocess(TriMesh(verts, faces), {}))
-                else:  # half-tier overflow: exact per-scene fallback
-                    meshes.append(
-                        self.generate_mesh(grids[b], return_stats=False)
-                    )
+                    meshes.append(self._mesh_from_band(
+                        ids[b, :cnt], vals[b, :cnt], logit_th, box_size, {}
+                    ))
+                else:  # half-tier overflow: per-scene fallback, but skip the
+                    # half tier — it just overflowed with the same budgets
+                    meshes.append(self.generate_mesh(
+                        grids[b], return_stats=False, _min_tier=1
+                    ))
             return meshes
 
         key = ("band_batched", B)
@@ -566,17 +553,17 @@ class MeshGenerator:
             if cnt > self.band_cells:  # overflow: exact per-scene fallback
                 meshes.append(self.generate_mesh(grids[b], return_stats=False))
                 continue
-            verts, faces = marching_tetrahedra_cells(
-                ids[b, :cnt].astype(np.int64), vals[b, :cnt].astype(np.float64),
-                (n + 2, n + 2, n + 2), logit_th,
-            )
-            verts = (verts - 1.0) / (n - 1)
-            verts = box_size * (verts - 0.5)
-            meshes.append(self._postprocess(TriMesh(verts, faces), {}))
+            meshes.append(self._mesh_from_band(
+                ids[b, :cnt], vals[b, :cnt], logit_th, box_size, {}
+            ))
         return meshes
 
-    def generate_mesh(self, tsdf_grid: np.ndarray, return_stats: bool = True):
-        """TSDF grid -> (mesh in [-0.5, 0.5]^3 coords[, stats dict])."""
+    def generate_mesh(self, tsdf_grid: np.ndarray, return_stats: bool = True,
+                      _min_tier: int = 0):
+        """TSDF grid -> (mesh in [-0.5, 0.5]^3 coords[, stats dict]).
+
+        ``_min_tier``: first refine-budget tier to attempt (internal; the
+        batched path passes 1 after the half tier already overflowed)."""
         stats = {}
         t0 = time.time()
         self.encode(tsdf_grid)
@@ -617,7 +604,8 @@ class MeshGenerator:
                 import jax
 
                 t0 = time.time()
-                for tier, (K_f, K_ps) in enumerate(self._refine_tiers):
+                for tier in range(_min_tier, len(self._refine_tiers)):
+                    K_f, K_ps = self._refine_tiers[tier]
                     ids, vals, count_f, counts_p = jax.device_get(
                         self._refine_band_fn(tier)(self.params, self._planes)
                     )
