@@ -439,7 +439,8 @@ class GIGAPlanner:
         Returns:
             list of (grasps, scores) per scene. Natively batched program
             (leading batch axis through encode/decode/stencils/top-K);
-            ~400k scenes/s at B=64 on one v5e chip (vs ~8.5k single-scene).
+            ~3,500 scenes/s at B=64 bf16 on one v5e chip, serial-chain
+            measured (single-scene: ~700/s fp32, ~2,500/s bf16).
         """
         if self._vfn is None:
             # the fused-trunk Pallas decode wins for batched serving on TPU
