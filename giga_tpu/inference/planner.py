@@ -306,6 +306,13 @@ def build_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float):
     return jax.jit(plan)
 
 
+def _as_batch(grids) -> np.ndarray:
+    """Normalize (B, R, R, R) / (B, 1, R, R, R) / single (R, R, R) inputs to
+    a float32 (B, R, R, R) array (applied to tsdf AND process grids alike)."""
+    a = np.asarray(grids, np.float32)
+    return a.reshape(-1, *a.shape[-3:])
+
+
 def _get_grids(state: State, resolution: int, default_size: float):
     """Extract (tsdf_grid, process_grid, voxel_size, size) from a State."""
     tsdf = state.tsdf
@@ -379,6 +386,15 @@ class GIGAPlanner:
 
     def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):
         grid, process_grid, _, size = _get_grids(state, self.planner_cfg.resolution, self.size)
+        if abs(size - self.size) > 1e-9:
+            # the jitted program bakes workspace-size-derived constants
+            # (border margins, metric width window) from self.size at build
+            # time; silently rescaling positions by a different state size
+            # would make masking and coordinates disagree
+            raise ValueError(
+                f"state TSDF size {size} != planner size {self.size}; "
+                f"construct GIGAPlanner(size={size}) for this workspace"
+            )
         tic = time.time()
         cands, raw = self._fn(self.params, jnp.asarray(grid), jnp.asarray(process_grid))
         cands = jax.device_get(cands)
@@ -421,8 +437,12 @@ class GIGAPlanner:
         for grid in tsdf_grids:
             g = jnp.asarray(np.asarray(grid, np.float32).reshape(
                 np.asarray(grid).shape[-3:]))
-            p = g if process_grids is None else jnp.asarray(
-                np.asarray(process_grids[len(out) + len(pending)], np.float32))
+            if process_grids is None:
+                p = g
+            else:
+                pg = np.asarray(
+                    process_grids[len(out) + len(pending)], np.float32)
+                p = jnp.asarray(pg.reshape(pg.shape[-3:]))
             cands, _ = self._fn(self.params, g, p)
             pending.append(cands)
             if len(pending) > 1:
@@ -430,6 +450,19 @@ class GIGAPlanner:
         while pending:
             drain()
         return out
+
+    def _ensure_batched_fn(self):
+        """Build (once) the batched planner program shared by plan_batch and
+        PlannerService — one place owns the batched-serving configuration."""
+        if self._vfn is None:
+            # the fused-trunk Pallas decode wins for batched serving on TPU
+            # (865 vs 590 scenes/s fp32, 2505 vs 1278 bf16 at B=64 on v5e);
+            # build_batched falls back to the XLA path off-TPU
+            self._vfn = build_batched_giga_planner_fn(
+                self.net, self.model_cfg, self.planner_cfg, self.size,
+                dtype=self._dtype, use_pallas=True,
+            )
+        return self._vfn
 
     def plan_batch(self, tsdf_grids: np.ndarray, process_grids=None):
         """Serving-throughput path: plan a whole batch of scenes at once.
@@ -442,18 +475,10 @@ class GIGAPlanner:
             ~3,500 scenes/s at B=64 bf16 on one v5e chip, serial-chain
             measured (single-scene: ~700/s fp32, ~2,500/s bf16).
         """
-        if self._vfn is None:
-            # the fused-trunk Pallas decode wins for batched serving on TPU
-            # (865 vs 590 scenes/s fp32, 2505 vs 1278 bf16 at B=64 on v5e);
-            # build_batched falls back to the XLA path off-TPU
-            self._vfn = build_batched_giga_planner_fn(
-                self.net, self.model_cfg, self.planner_cfg, self.size,
-                dtype=self._dtype, use_pallas=True,
-            )
-        grids = jnp.asarray(np.squeeze(np.asarray(tsdf_grids)).reshape(
-            -1, *tsdf_grids.shape[-3:]).astype(np.float32))
+        self._ensure_batched_fn()
+        grids = jnp.asarray(_as_batch(tsdf_grids))
         proc = grids if process_grids is None else jnp.asarray(
-            np.asarray(process_grids, np.float32))
+            _as_batch(process_grids))
         cands_b, _ = self._vfn(self.params, grids, proc)
         cands_b = jax.device_get(cands_b)
         out = []

@@ -21,6 +21,12 @@ TPU-shaped decisions:
 - **Adaptive micro-batching.** The worker waits at most ``max_wait_ms`` for
   the batch to fill; under light load requests still see bounded latency,
   under heavy load batches run full (best scenes/s).
+
+Lifecycle contract: every accepted submit() resolves — with a result, the
+batch's exception, or CancelledError if the caller cancelled before the
+batch was packed. close() drains already-queued work (so no accepted future
+is orphaned) and then stops the worker; submissions racing with close()
+either complete or raise, never hang.
 """
 
 from __future__ import annotations
@@ -28,26 +34,29 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 
 import numpy as np
 
 __all__ = ["PlannerService", "ServiceStats"]
 
-_SHUTDOWN = object()
-
 
 @dataclass
 class ServiceStats:
-    """Aggregate counters (read via PlannerService.stats())."""
+    """Aggregate counters (read via PlannerService.stats()).
+
+    ``busy_s`` accumulates only wall time spent dispatching/fetching (idle
+    polling excluded), so ``scenes_per_sec`` reflects serving capacity, not
+    how long the service has been sitting around.
+    """
 
     requests: int = 0
     batches: int = 0
     padded_slots: int = 0
     errors: int = 0
-    wall_s: float = 0.0
+    busy_s: float = 0.0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def snapshot(self) -> dict:
@@ -62,10 +71,18 @@ class ServiceStats:
                 "batches": self.batches,
                 "mean_batch_occupancy": occ,
                 "errors": self.errors,
-                "scenes_per_sec": self.requests / self.wall_s
-                if self.wall_s > 0
+                "scenes_per_sec": self.requests / self.busy_s
+                if self.busy_s > 0
                 else 0.0,
             }
+
+
+def _fail(fut: Future, exc: Exception):
+    """set_exception tolerant of a concurrent cancel()."""
+    try:
+        fut.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 class PlannerService:
@@ -78,8 +95,8 @@ class PlannerService:
             all traffic. 64 is the measured serving sweet spot on v5e.
         max_wait_ms: max time the batcher waits for a batch to fill before
             dispatching a padded partial batch.
-        queue_depth: submit() raises when this many requests are pending
-            (backpressure instead of unbounded memory growth).
+        queue_depth: submit() raises RuntimeError when this many requests
+            are pending (backpressure instead of unbounded memory growth).
 
     Usage::
 
@@ -91,20 +108,16 @@ class PlannerService:
 
     def __init__(self, planner, batch_size: int = 64, max_wait_ms: float = 2.0,
                  queue_depth: int = 1024):
-        from giga_tpu.inference.planner import build_batched_giga_planner_fn
-
         self.planner = planner
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) * 1e-3
+        self.queue_depth = int(queue_depth)
         self._queue: Queue = Queue(maxsize=queue_depth)
         self._stats = ServiceStats()
-        if planner._vfn is None:  # share plan_batch's program if prebuilt
-            planner._vfn = build_batched_giga_planner_fn(
-                planner.net, planner.model_cfg, planner.planner_cfg,
-                planner.size, dtype=planner._dtype, use_pallas=True,
-            )
-        self._vfn = planner._vfn
+        self._vfn = planner._ensure_batched_fn()
         self._closed = False
+        self._close_lock = threading.Lock()
+        self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._run, name="giga-planner-service", daemon=True
         )
@@ -114,9 +127,11 @@ class PlannerService:
 
     def submit(self, tsdf_grid) -> Future:
         """Queue one (R, R, R) (or (1, R, R, R)) TSDF; resolves to
-        (grasps, scores) exactly as the single-scene planner returns them."""
-        if self._closed:
-            raise RuntimeError("PlannerService is closed")
+        (grasps, scores) exactly as the single-scene planner returns them.
+
+        Raises RuntimeError when the service is closed or the queue is at
+        queue_depth (backpressure), ValueError on a wrong grid shape.
+        """
         grid = np.asarray(tsdf_grid, np.float32)
         grid = grid.reshape(grid.shape[-3:])
         R = self.planner.planner_cfg.resolution
@@ -125,7 +140,18 @@ class PlannerService:
             # requests would otherwise fail the whole batch
             raise ValueError(f"expected ({R}, {R}, {R}) TSDF, got {grid.shape}")
         fut: Future = Future()
-        self._queue.put((grid, fut))
+        # the lock orders submit against close(): once close() flips _closed
+        # under the lock, nothing new can enter the queue, so the worker's
+        # final drain cannot strand an accepted future
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("PlannerService is closed")
+            try:
+                self._queue.put_nowait((grid, fut))
+            except Full:
+                raise RuntimeError(
+                    f"PlannerService queue full ({self.queue_depth} pending)"
+                ) from None
         return fut
 
     def plan(self, tsdf_grid, timeout: float | None = None):
@@ -136,11 +162,16 @@ class PlannerService:
         return self._stats.snapshot()
 
     def close(self, timeout: float | None = 30.0):
-        """Drain queued requests, stop the worker. Idempotent."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put((_SHUTDOWN, None))
+        """Drain already-queued requests, then stop the worker. Idempotent.
+
+        If the device wedges mid-fetch the join can time out; the daemon
+        worker then dies with the process rather than blocking exit.
+        """
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._stop.set()
         self._worker.join(timeout=timeout)
 
     def __enter__(self):
@@ -152,40 +183,33 @@ class PlannerService:
     # -- worker ------------------------------------------------------------
 
     def _gather_batch(self):
-        """Block for the first request, then fill up to batch_size within
-        the max_wait deadline. Returns (items, saw_shutdown)."""
+        """Block briefly for the first request, then fill up to batch_size
+        within the max_wait deadline."""
         try:
             first = self._queue.get(timeout=0.1)
         except Empty:
-            return [], False
-        if first[0] is _SHUTDOWN:
-            return [], True
+            return []
         items = [first]
         deadline = time.monotonic() + self.max_wait_s
         while len(items) < self.batch_size:
             budget = deadline - time.monotonic()
             try:
-                nxt = self._queue.get(timeout=max(budget, 0.0))
+                items.append(self._queue.get(timeout=max(budget, 0.0)))
             except Empty:
                 break
-            if nxt[0] is _SHUTDOWN:
-                return items, True
-            items.append(nxt)
-        return items, False
+        return items
 
     def _dispatch(self, items):
-        """One padded device dispatch; returns (device result, items)."""
+        """One padded device dispatch; returns (device result, items, pad)."""
         import jax.numpy as jnp
 
         grids = [g for g, _ in items]
         pad = self.batch_size - len(grids)
-        with self._stats._lock:
-            self._stats.padded_slots += pad
         if pad:
             grids = grids + [grids[-1]] * pad
         batch = jnp.asarray(np.stack(grids))
         cands_b, _ = self._vfn(self.planner.params, batch, batch)
-        return cands_b, items
+        return cands_b, items, pad
 
     def _resolve(self, cands_b, items):
         """Fetch a dispatched batch (the true barrier) and resolve futures."""
@@ -199,58 +223,57 @@ class PlannerService:
         host = jax.device_get(cands_b)
         p = self.planner
         for i, (_, fut) in enumerate(items):
-            if fut.cancelled():
-                continue
             cands = GraspCandidates(*(x[i] for x in host))
             fut.set_result(candidates_to_grasps(
                 cands, scale=p.size, offset=0.5, width_scale=p.size,
                 best=p.planner_cfg.best, rng=p.rng,
             ))
 
+    def _drain_one(self, pending: deque):
+        cands_b, batch_items = pending.popleft()
+        try:
+            self._resolve(cands_b, batch_items)
+        except Exception as e:  # noqa: BLE001 — fail the batch, not the service
+            with self._stats._lock:
+                self._stats.errors += len(batch_items)
+            for _, fut in batch_items:
+                if not fut.done():
+                    _fail(fut, e)
+
     def _run(self):
-        pending = deque()  # lag-1: at most one un-fetched dispatched batch
-        shutdown = False
-        t0 = None
-        while not shutdown:
-            items, shutdown = self._gather_batch()
-            if items:
-                if t0 is None:
-                    t0 = time.monotonic()
+        pending: deque = deque()  # lag-1: at most one un-fetched batch
+        while True:
+            stopping = self._stop.is_set()
+            items = self._gather_batch()
+            # transition accepted futures to RUNNING; a future whose caller
+            # cancelled before packing is dropped here (and its waiters
+            # notified) — afterwards cancel() can no longer race set_result
+            live = [(g, f) for g, f in items
+                    if f.set_running_or_notify_cancel()]
+            t_iter = time.monotonic() if (live or pending) else None
+            if live:
                 try:
-                    pending.append(self._dispatch(items))
-                except Exception as e:  # noqa: BLE001 — fail the batch, not the service
+                    pending.append(self._dispatch(live)[:2])
+                    pad = self.batch_size - len(live)
                     with self._stats._lock:
-                        self._stats.errors += len(items)
-                    for _, fut in items:
-                        if not fut.cancelled():
-                            fut.set_exception(e)
-                    continue
-                with self._stats._lock:
-                    self._stats.requests += len(items)
-                    self._stats.batches += 1
+                        self._stats.requests += len(live)
+                        self._stats.batches += 1
+                        self._stats.padded_slots += pad
+                except Exception as e:  # noqa: BLE001
+                    with self._stats._lock:
+                        self._stats.errors += len(live)
+                    for _, fut in live:
+                        _fail(fut, e)
             # lag-1 drain: keep one dispatched batch in flight while more
             # work is queued (overlaps device compute + fetch with the next
             # dispatch); fetch immediately when the queue is idle so light
-            # load sees no extra latency
-            while pending and (shutdown or len(pending) > 1
+            # load sees no extra latency. Dispatch failures above fall
+            # through here, so a pending batch is never stranded.
+            while pending and (stopping or len(pending) > 1
                                or self._queue.empty()):
-                cands_b, batch_items = pending.popleft()
-                try:
-                    self._resolve(cands_b, batch_items)
-                except Exception as e:  # noqa: BLE001
-                    with self._stats._lock:
-                        self._stats.errors += len(batch_items)
-                    for _, fut in batch_items:
-                        if not fut.cancelled() and not fut.done():
-                            fut.set_exception(e)
-            if t0 is not None:
+                self._drain_one(pending)
+            if t_iter is not None:
                 with self._stats._lock:
-                    self._stats.wall_s = time.monotonic() - t0
-        # reject anything that raced into the queue after shutdown
-        while True:
-            try:
-                item, fut = self._queue.get_nowait()
-            except Empty:
-                break
-            if item is not _SHUTDOWN and fut is not None:
-                fut.set_exception(RuntimeError("PlannerService closed"))
+                    self._stats.busy_s += time.monotonic() - t_iter
+            if stopping and not pending and self._queue.empty():
+                return

@@ -49,6 +49,29 @@ def _mm(a, w, compute_dtype):
     return jnp.dot(a, w, preferred_element_type=jnp.float32, precision=HI)
 
 
+def _prepare_axis_terms(pk, coords):
+    """Separable fc_p terms px/py/pz (R, F), fc_p bias folded into px —
+    shared by every prepare_* variant."""
+    coords = coords.astype(pk["fc_p_kernel"].dtype)
+    w_p = pk["fc_p_kernel"]  # (3, F)
+    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
+    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
+    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+    return px, py, pz
+
+
+def _trunk_weight_stack(pk, n_blocks: int):
+    """(w0, b0, w1, b1, wout, bout) stacks of the fused trunk weights —
+    shared tail of every prepare_* variant's kernel-input tuple."""
+    return (
+        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
+        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
+        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+    )
+
+
 def _trunk_kernel(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
                   w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
                   out_ref, *, n_blocks: int, compute_dtype):
@@ -336,11 +359,7 @@ def prepare_hybrid_inputs(dec_params: dict, feats: dict, coords, n_blocks: int =
     features, precomputed per-block pyz (fc_c biases folded in), and the
     per-plane fc_c weight splits for the in-kernel row projections."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
-    coords = coords.astype(pk["fc_p_kernel"].dtype)
-    w_p = pk["fc_p_kernel"]
-    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
-    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
-    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+    px, py, pz = _prepare_axis_terms(pk, coords)
 
     c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
     wxz = jnp.stack([pk[f"fc_c{i}_kernel"][:c_dim] for i in range(n_blocks)])
@@ -358,11 +377,7 @@ def prepare_hybrid_inputs(dec_params: dict, feats: dict, coords, n_blocks: int =
     )
     out = (
         px, py, pz, feats["xz"], feats["xy"], pyz, wxz, wxy,
-        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
-        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+        *_trunk_weight_stack(pk, n_blocks),
     )
     out = tuple(_as_f32(x) for x in out)
     if proj_dtype != jnp.float32:
@@ -504,11 +519,7 @@ def prepare_feats_inputs(dec_params: dict, feats: dict, coords, n_blocks: int = 
     """Kernel inputs for the raw-features variant: separable fc_p terms,
     the (B, R, R, C) plane features as-is, and per-plane fc_c weight splits."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
-    coords = coords.astype(pk["fc_p_kernel"].dtype)
-    w_p = pk["fc_p_kernel"]
-    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
-    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
-    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+    px, py, pz = _prepare_axis_terms(pk, coords)
 
     c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
     wxz = jnp.stack([pk[f"fc_c{i}_kernel"][:c_dim] for i in range(n_blocks)])
@@ -519,11 +530,7 @@ def prepare_feats_inputs(dec_params: dict, feats: dict, coords, n_blocks: int = 
     bc = jnp.stack([pk[f"fc_c{i}_bias"] for i in range(n_blocks)])
     out = (
         px, py, pz, feats["xz"], feats["xy"], feats["yz"], wxz, wxy, wyz, bc,
-        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
-        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+        *_trunk_weight_stack(pk, n_blocks),
     )
     return tuple(_as_f32(x) for x in out)
 
@@ -554,11 +561,7 @@ def prepare_projections(dec_params: dict, feats: dict, coords, n_blocks: int = 5
     [first_axis, second_axis]. Returns the 12-tuple of fp32 kernel inputs.
     """
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
-    coords = coords.astype(pk["fc_p_kernel"].dtype)
-    w_p = pk["fc_p_kernel"]  # (3, F)
-    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
-    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
-    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+    px, py, pz = _prepare_axis_terms(pk, coords)
 
     c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
     pxz, pxy, pyz = [], [], []
@@ -576,11 +579,7 @@ def prepare_projections(dec_params: dict, feats: dict, coords, n_blocks: int = 5
         )
     out = (
         px, py, pz, jnp.stack(pxz), jnp.stack(pxy), jnp.stack(pyz),
-        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
-        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+        *_trunk_weight_stack(pk, n_blocks),
     )
     # refs stay fp32 regardless of serving dtype: broadcasts/adds are exact,
     # the kernel casts at the MXU dots only
@@ -598,11 +597,7 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
     round-3 roofline) — halving their bytes buys ~6 ms/batch, while the
     kernel still accumulates fp32."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
-    coords = coords.astype(pk["fc_p_kernel"].dtype)
-    w_p = pk["fc_p_kernel"]
-    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI) + pk["fc_p_bias"]
-    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
-    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
+    px, py, pz = _prepare_axis_terms(pk, coords)
 
     c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
     pxz, pxy, pyz = [], [], []
@@ -621,11 +616,7 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
     out = (
         px, py, pz,
         jnp.stack(pxz, axis=1), jnp.stack(pxy, axis=1), jnp.stack(pyz, axis=1),
-        jnp.stack([pk[f"block{i}_fc0_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc0_bias"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_kernel"] for i in range(n_blocks)]),
-        jnp.stack([pk[f"block{i}_fc1_bias"] for i in range(n_blocks)]),
-        pk["fc_out_kernel"], pk["fc_out_bias"][None, :],
+        *_trunk_weight_stack(pk, n_blocks),
     )
     out = tuple(_as_f32(x) for x in out)
     if proj_dtype != jnp.float32:

@@ -29,17 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from giga_tpu.models.layers import zbanded_kernel
+from giga_tpu.ops.pallas.decoder_kernel import _mm
 
 HI = jax.lax.Precision.HIGHEST
-
-
-def _mm(a, w, compute_dtype):
-    if compute_dtype == jnp.bfloat16:
-        return jnp.dot(
-            a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    return jnp.dot(a, w, preferred_element_type=jnp.float32, precision=HI)
 
 
 def _stem_pool_kernel(img_ref, w_ref, b_ref, p_ref, xz_ref, xy_ref, yz_ref,

@@ -38,10 +38,17 @@ def _sync_fetch(result):
 def true_latency(fn, args_list, n_lo: int = 1, n_hi: int = 33, repeats: int = 3) -> float:
     """Marginal per-call seconds of ``fn(*args)`` via end-fetch scaling.
 
+    WARNING (round-3 finding): cycling a small args_list does NOT defeat the
+    axon tunnel's replay caching of repeated identical dispatches — this
+    protocol measured a 762-GFLOP batch at 0.315 ms (2.4 PFLOP/s,
+    impossible) with ±80% spread. For kernel/serving numbers use
+    ``serial_chain_latency`` (each iteration's input depends on the previous
+    output, so no dispatch ever repeats). true_latency remains valid for
+    calls whose inputs genuinely differ every invocation.
+
     Args:
         fn: jitted callable (must already be warm for every args shape).
-        args_list: list of argument tuples cycled through (varying inputs
-            defeats any remote result caching).
+        args_list: list of argument tuples cycled through.
     """
     def run_n(n: int) -> float:
         t0 = time.perf_counter()
