@@ -92,6 +92,20 @@ class TestPlannerService:
         ref_g, ref_s, _ = planner(State(tsdf=scenes[0][None]))
         assert _as_tuples(grasps, scores) == _as_tuples(ref_g, ref_s)
 
+    def test_cancel_does_not_kill_worker(self, planner, scenes):
+        """A future cancelled between submit and batching is dropped (or,
+        if the worker already packed it, completes) — either way the worker
+        survives and keeps serving."""
+        with PlannerService(planner, batch_size=2, max_wait_ms=1.0) as svc:
+            futs = [svc.submit(scenes[i % len(scenes)]) for i in range(6)]
+            for f in futs:
+                f.cancel()  # races the worker; both outcomes are legal
+            for f in futs:
+                assert f.cancelled() or f.result(300) is not None
+            grasps, scores = svc.plan(scenes[0], timeout=300)
+        ref_g, ref_s, _ = planner(State(tsdf=scenes[0][None]))
+        assert _as_tuples(grasps, scores) == _as_tuples(ref_g, ref_s)
+
     def test_closed_service_rejects(self, planner):
         svc = PlannerService(planner, batch_size=2)
         svc.close()
