@@ -363,7 +363,11 @@ class GIGAPlanner:
     ):
         if net is None:
             net, model_cfg, params = load_network(model_path, model_type)
-        self.net, self.model_cfg, self.params = net, model_cfg, params
+        # commit params to device once: msgpack/device_get checkpoints are
+        # host numpy, and passing those to a jitted fn re-ships them through
+        # the (slow) host link on EVERY call (same as MeshGenerator)
+        self.net, self.model_cfg = net, model_cfg
+        self.params = jax.device_put(params)
         self.planner_cfg = PlannerConfig(
             resolution=resolution,
             qual_th=qual_th,
@@ -513,7 +517,8 @@ class VGNPlanner:
     ):
         if net is None:
             net, _, params = load_network(model_path, model_type)
-        self.net, self.params = net, params
+        self.net = net
+        self.params = jax.device_put(params)  # see GIGAPlanner.__init__
         self.planner_cfg = PlannerConfig(
             qual_th=qual_th,
             out_th=out_th,

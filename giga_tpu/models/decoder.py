@@ -48,13 +48,10 @@ class StackedLocalDecoder(nn.Module):
     out_dim: int = 4
 
     def _stack_param(self, name, shape_head, fan_in, zero=False):
-        if zero:
-            init = jax.nn.initializers.zeros
-        elif len(shape_head) == 1:  # bias
-            init = torch_bias_init(fan_in)
-        else:
-            # per-head kaiming uniform; fan_in of each head's 2D weight
-            init = torch_bias_init(fan_in)
+        # weights and biases share one init on purpose: torch's
+        # kaiming_uniform(a=sqrt(5)) bound for a Linear weight equals the
+        # bias bound 1/sqrt(fan_in), so torch_bias_init covers both
+        init = jax.nn.initializers.zeros if zero else torch_bias_init(fan_in)
         return self.param(name, init, _stacked(shape_head, self.heads))
 
     @nn.compact

@@ -55,36 +55,69 @@ def create_train_state(net, cfg, rng, lr: float = 2e-4, tsdf_shape=(1, 40, 40, 4
     return TrainState.create(apply_fn=net.apply, params=params, tx=tx)
 
 
-def make_loss_fn(net, cfg) -> Callable:
-    """Returns loss_fn(params, batch) -> (loss, (terms, outputs))."""
+def _cast_net_inputs(params, batch, dtype):
+    """Mixed precision: cast params and NETWORK inputs to ``dtype``; targets
+    (labels/rotations/widths/occ) stay fp32 so the loss reduces in fp32."""
+    params = jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+    batch = dict(batch)
+    for k in ("tsdf", "pos", "pos_occ"):
+        if batch.get(k) is not None:
+            batch[k] = batch[k].astype(dtype)
+    return params, batch
+
+
+def _out_f32(out):
+    return jax.tree.map(lambda a: a.astype(jnp.float32), out)
+
+
+def make_loss_fn(net, cfg, dtype=None) -> Callable:
+    """Returns loss_fn(params, batch) -> (loss, (terms, outputs)).
+
+    ``dtype=jnp.bfloat16``: the forward pass runs in bf16 but the head
+    outputs are cast back to fp32 BEFORE any loss math — bf16's 8 mantissa
+    bits saturate the probability-space BCE (a prob within ~2^-9 of 1 rounds
+    to exactly 1, clamping log1p to -100 with zero gradient), so losses and
+    targets must stay fp32.
+    """
     if not isinstance(cfg, GIGAConfig):
-        return make_vgn_loss_fn(net)
+        return make_vgn_loss_fn(net, dtype)
 
     def loss_fn(params, batch):
+        if dtype is not None:
+            params, batch = _cast_net_inputs(params, batch, dtype)
         p = batch["pos"][:, None, :]  # (B, 1, 3)
         p_occ = batch.get("pos_occ")
         if cfg.tsdf_only:
             out = net.apply(params, batch["tsdf"], None, p_occ)
-            out = {"occ": out["occ"]}
+            out = _out_f32({"occ": out["occ"]})
             loss, terms = occ_only_loss(out, batch)
         else:
             out = net.apply(params, batch["tsdf"], p, p_occ if cfg.decoder_tsdf else None)
             out = {k: (v[:, 0] if k in ("qual", "width") else v) for k, v in out.items()}
             out["rot"] = out["rot"][:, 0]
+            out = _out_f32(out)
             loss, terms = giga_loss(out, batch)
         return loss, (terms, out)
 
     return loss_fn
 
 
-def make_vgn_loss_fn(net) -> Callable:
+def make_vgn_loss_fn(net, dtype=None) -> Callable:
     """Dense VGN objective (reference: scripts/train_vgn.py:150-188): predict
     full volumes, select the labeled voxel, same composite loss but with
     unscaled width MSE (widths are in voxel units)."""
     from giga_tpu.train.loss import binary_cross_entropy, rot_loss
 
     def loss_fn(params, batch):
+        if dtype is not None:
+            params, batch = _cast_net_inputs(params, batch, dtype)
         qual, rot, width = net.apply(params, batch["tsdf"])
+        qual, rot, width = (qual.astype(jnp.float32), rot.astype(jnp.float32),
+                            width.astype(jnp.float32))
         idx = batch["index"]
         b = jnp.arange(qual.shape[0])
         q = qual[b, idx[:, 0], idx[:, 1], idx[:, 2]]
@@ -136,7 +169,7 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None,
     device-resident corpus pipeline, train/corpus.py) — the host ships only
     the tiny ``sel`` index arrays per step.
     """
-    loss_fn = make_loss_fn(net, cfg)
+    loss_fn = make_loss_fn(net, cfg, dtype=dtype)
 
     def step(state: TrainState, batch):
         if dtype is None:
@@ -146,26 +179,12 @@ def make_train_step(net, cfg, mesh=None, axis: str = "dp", dtype=None,
                     loss_fn, has_aux=True
                 )(state.params, batch)
         else:
-
-            def cast_loss(params, batch):
-                p = jax.tree.map(
-                    lambda a: a.astype(dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                    params,
-                )
-                b = {
-                    k: v.astype(dtype)
-                    if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v
-                    for k, v in batch.items()
-                }
-                loss, aux = loss_fn(p, b)
-                return loss.astype(jnp.float32), aux
-
-            # grads of the cast are accumulated back into fp32 leaves
+            # loss_fn casts params + network inputs to dtype internally and
+            # returns fp32 losses; grads of the cast accumulate back into
+            # the fp32 master leaves
             (loss, (terms, out)), grads = jax.value_and_grad(
-                cast_loss, has_aux=True
+                loss_fn, has_aux=True
             )(state.params, batch)
-            terms = jax.tree.map(lambda t: t.astype(jnp.float32), terms)
         state = state.apply_gradients(grads=grads)
         terms = {**terms, **_step_metrics(cfg, out, batch)}
         return state, terms
@@ -284,20 +303,23 @@ class Trainer:
         return shard_batch(self.mesh, batch)
 
     def fit(self, state: TrainState, train_loader, val_loader, epochs: int, log=print):
-        history = []
         state = self.try_resume(state)
+        history = self._load_history()
         for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()
             accum = []
             for batch in train_loader:
                 state, terms = self.train_step(state, self._put(batch))
-                accum.append(jax.device_get(terms))
-            train_metrics = summarize_metrics(accum)
+                # keep terms on device: a per-step host fetch would
+                # serialize every step against the link round-trip
+                # (~25 ms/fetch on the tunnel); ONE fetch per epoch below
+                accum.append(terms)
+            train_metrics = summarize_metrics(jax.device_get(accum))
 
             accum = []
             for batch in val_loader:
-                accum.append(jax.device_get(self.eval_step(state.params, self._put(batch))))
-            val_metrics = summarize_metrics(accum)
+                accum.append(self.eval_step(state.params, self._put(batch)))
+            val_metrics = summarize_metrics(jax.device_get(accum))
 
             dt = time.time() - t0
             log(
@@ -344,6 +366,19 @@ class Trainer:
         self.tb_writer.add_scalars(
             {f"val/{k}": v for k, v in val_metrics.items()}, epoch
         )
+
+    def _load_history(self):
+        """Pre-resume epoch rows, so a resumed run's history.jsonl keeps its
+        earlier curve instead of being truncated to post-resume epochs."""
+        import json
+
+        if self.logdir is None or self.start_epoch <= 1:
+            return []
+        path = self.logdir / "history.jsonl"
+        if not path.exists():
+            return []
+        rows = [json.loads(line) for line in path.open() if line.strip()]
+        return [r for r in rows if r.get("epoch", 0) < self.start_epoch]
 
     def _log_csv(self, history):
         import json

@@ -43,6 +43,7 @@ def oracle_eval(params, n_scenes, seed, top_k=5, qual_th=0.8):
     from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 
     net, cfg = get_network("giga")
+    # GIGAPlanner device_puts the host snapshot once (no re-upload per call)
     planner = GIGAPlanner(
         net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
         low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
@@ -97,7 +98,11 @@ def main(args):
         sel = {k: jnp.asarray(v) for k, v in sampler().items()}
         state, terms = step(state, corpus, sel)
         if args.ema > 0:
-            ema = state.params if ema is None else ema_update(ema, state.params)
+            # first assignment must COPY: the step donates its state arg, so
+            # aliasing state.params would leave ema pointing at buffers the
+            # next step deletes (CLAUDE.md: thread donated state linearly)
+            ema = (jax.tree.map(jnp.copy, state.params) if ema is None
+                   else ema_update(ema, state.params))
         if it % args.log_every == 0 or it == args.steps:
             loss = float(jax.device_get(terms["loss_all"]))
             print(f"step {it}: loss {loss:.4f} "

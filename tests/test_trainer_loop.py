@@ -34,12 +34,18 @@ def test_trainer_fit_checkpoints_and_resumes(tmp_path):
     )
     trainer.ckpt_mgr.close()
 
-    # a fresh trainer resumes at epoch 3 and runs only the remaining epoch
+    # a fresh trainer resumes at epoch 3 and runs only the remaining epoch;
+    # history (returned AND in history.jsonl) keeps the pre-resume epochs
+    # instead of truncating the curve to post-resume rows
     trainer2 = Trainer(net, cfg, TrainConfig(net="giga_aff"), logdir=logdir, use_orbax=True)
     fresh = create_train_state(net, cfg, jax.random.PRNGKey(42))
     state2, history2 = trainer2.fit(fresh, train_loader, val_loader, epochs=3, log=lambda *_: None)
     assert trainer2.start_epoch == 3
-    assert len(history2) == 1
+    assert [row["epoch"] for row in history2] == [1, 2, 3]
+    import json
+
+    rows = [json.loads(l) for l in (logdir / "history.jsonl").open()]
+    assert [row["epoch"] for row in rows] == [1, 2, 3]
     trainer2.ckpt_mgr.close()
 
 
