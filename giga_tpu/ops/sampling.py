@@ -7,7 +7,7 @@ coordinates to [0, 1] (ConvONets/common.py:238-261). That chain is
 re-implemented here in two forms:
 
   * ``sample_plane``: gather-based bilinear sampling for arbitrary query sets.
-  * ``lattice_interp_matrix``: for tensor-product lattices of query points
+  * ``interp_matrix_1d``: for tensor-product lattices of query points
     (the planner's dense 40^3 grid), bilinear sampling factorizes into two
     small dense matmuls per plane — an exact, MXU-friendly formulation with
     no gathers at all.

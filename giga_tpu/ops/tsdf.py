@@ -140,7 +140,20 @@ def extract_surface_points(
     obs = weight > 0
 
     if with_normals:
-        grad = np.stack(np.gradient(tsdf), axis=-1)
+        # gradient on a nearest-observed fill: unobserved voxels store 0
+        # ("deeply inside"), so a raw gradient at observation boundaries
+        # would point sideways into the unobserved region instead of out of
+        # the surface (those normals orient grasp approach directions in
+        # scripts/generate_data_parallel.py)
+        filled = tsdf
+        if not obs.all():
+            from scipy import ndimage
+
+            nearest = ndimage.distance_transform_edt(
+                ~obs, return_distances=False, return_indices=True
+            )
+            filled = tsdf[tuple(nearest)]
+        grad = np.stack(np.gradient(filled), axis=-1)
 
     pts, nrms = [], []
     for axis in range(3):

@@ -60,6 +60,12 @@ def is_primary() -> bool:
 
 def global_batch_slice(global_batch: int):
     """This host's slice of a globally-sharded batch (per-host data loading)."""
-    per_host = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        # silent truncation would drop the remainder rows from every epoch
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by process_count {n}"
+        )
+    per_host = global_batch // n
     start = jax.process_index() * per_host
     return slice(start, start + per_host)

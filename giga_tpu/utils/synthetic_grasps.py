@@ -118,7 +118,18 @@ def sample_labeled_grasps(mesh: TriMesh, size: float, n_grasps: int, rng,
             results.append((evaluate_grasp(mesh, surf, pose, rng), pose))
         successes = [i for i, ((lbl, _), _) in enumerate(results) if lbl]
         if successes:
-            (label, width), pose = results[successes[len(successes) // 2]]
+            # midpoint of the WIDEST contiguous success run (the reference's
+            # widest-peak rule): the probe-based oracle makes isolated
+            # single-yaw successes noisy, and a mid-run yaw is the robust
+            # rotation target for the rot head
+            runs, start = [], successes[0]
+            for prev, cur in zip(successes, successes[1:] + [None]):
+                if cur != prev + 1:
+                    runs.append((start, prev))
+                    if cur is not None:
+                        start = cur
+            s, e = max(runs, key=lambda r: r[1] - r[0])
+            (label, width), pose = results[(s + e) // 2]
         else:
             (label, width), pose = results[rng.randint(num_yaws)]
         out.append((Grasp(pose, width), label))

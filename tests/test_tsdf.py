@@ -110,3 +110,25 @@ class TestTSDFIntegration:
         tsdf = TSDFVolume(SIZE, RES)
         tsdf.integrate(depth, INTR, extr)
         assert np.all(tsdf.get_grid() == 0.0)
+
+
+class TestSurfaceNormals:
+    def test_boundary_normals_ignore_unobserved(self):
+        """Unobserved voxels store 0 ('deeply inside'); the normal gradient
+        must not leak sideways into the unobserved region at observation
+        boundaries (those normals orient grasp approach directions in
+        scripts/generate_data_parallel.py)."""
+        from giga_tpu.ops.tsdf import extract_surface_points
+
+        R = 24
+        z = (np.arange(R) + 0.5) / R
+        tsdf = np.broadcast_to(
+            np.clip((z[None, None, :] - 0.5) * 8 + 0.5, 0, 1), (R, R, R)
+        ).astype(np.float32).copy()
+        w = np.ones((R, R, R), np.float32)
+        w[R // 2:] = 0.0
+        tsdf[R // 2:] = 0.0  # storage convention for unobserved
+        pts, nrm = extract_surface_points(tsdf, w, 0.3 / R, with_normals=True)
+        assert len(pts)
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-6)
+        assert (nrm[:, 2] > 0.9).all(), "boundary normals leaked sideways"
