@@ -301,71 +301,12 @@ int marching_tetrahedra(const double* grid, int64_t nx, int64_t ny, int64_t nz,
                     if (corner_val[c] > iso) cube_code |= 1 << c;
                 }
                 if (cube_code == 0 || cube_code == 255) continue;
-
-                const uint8_t* tet_codes = TET_CODES.code[cube_code];
-                for (int t = 0; t < 6; ++t) {
-                    const int* tet = TETS[t];
-                    const int code = tet_codes[t];
-                    if (code == 0 || code == 15) continue;
-
-                    // collect inside/outside tet-corner indices
-                    int ins[4], outs[4], ni = 0, no = 0;
-                    for (int k = 0; k < 4; ++k)
-                        (code & (1 << k)) ? ins[ni++] = tet[k] : outs[no++] = tet[k];
-
-                    auto ev = [&](int a, int b) {
-                        return mb.vertex_on_edge(
-                            corner_gid[a], corner_gid[b], corner_pos[a], corner_pos[b],
-                            corner_val[a], corner_val[b], iso);
-                    };
-
-                    if (ni == 1) {  // one inside: single triangle around it
-                        int64_t v0 = ev(ins[0], outs[0]);
-                        int64_t v1 = ev(ins[0], outs[1]);
-                        int64_t v2 = ev(ins[0], outs[2]);
-                        mb.add_tri(v0, v1, v2);
-                    } else if (ni == 3) {  // one outside
-                        int64_t v0 = ev(outs[0], ins[0]);
-                        int64_t v1 = ev(outs[0], ins[1]);
-                        int64_t v2 = ev(outs[0], ins[2]);
-                        mb.add_tri(v0, v2, v1);
-                    } else {  // 2-2: quad -> two triangles
-                        int64_t v00 = ev(ins[0], outs[0]);
-                        int64_t v01 = ev(ins[0], outs[1]);
-                        int64_t v10 = ev(ins[1], outs[0]);
-                        int64_t v11 = ev(ins[1], outs[1]);
-                        mb.add_tri(v00, v01, v11);
-                        mb.add_tri(v00, v11, v10);
-                    }
-                }
+                // same deterministic per-tet local winding as the sparse
+                // path (the old post-hoc gradient flip tied — arbitrary
+                // winding — on thin features and at clamped boundaries)
+                march_cell(mb, cube_code, corner_gid, corner_pos, corner_val,
+                           iso);
             }
-
-    // Fix winding: orient each triangle so its normal points toward lower
-    // field values (approximated by the local gradient).
-    auto value_at = [&](double px, double py, double pz) {
-        int64_t ix = (int64_t)px, iy = (int64_t)py, iz = (int64_t)pz;
-        ix = ix < 0 ? 0 : (ix >= nx ? nx - 1 : ix);
-        iy = iy < 0 ? 0 : (iy >= ny ? ny - 1 : iy);
-        iz = iz < 0 ? 0 : (iz >= nz ? nz - 1 : iz);
-        return grid[gid(ix, iy, iz)];
-    };
-    for (size_t t = 0; t < mb.tris.size(); t += 3) {
-        const double* a = &mb.verts[3 * mb.tris[t]];
-        const double* b = &mb.verts[3 * mb.tris[t + 1]];
-        const double* c = &mb.verts[3 * mb.tris[t + 2]];
-        double cx = (a[0] + b[0] + c[0]) / 3.0;
-        double cy = (a[1] + b[1] + c[1]) / 3.0;
-        double cz = (a[2] + b[2] + c[2]) / 3.0;
-        double nxv = (b[1] - a[1]) * (c[2] - a[2]) - (b[2] - a[2]) * (c[1] - a[1]);
-        double nyv = (b[2] - a[2]) * (c[0] - a[0]) - (b[0] - a[0]) * (c[2] - a[2]);
-        double nzv = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]);
-        double len = std::sqrt(nxv * nxv + nyv * nyv + nzv * nzv);
-        if (len < 1e-300) continue;
-        double h = 0.75;
-        double vp = value_at(cx + nxv / len * h, cy + nyv / len * h, cz + nzv / len * h);
-        double vm = value_at(cx - nxv / len * h, cy - nyv / len * h, cz - nzv / len * h);
-        if (vp > vm) std::swap(mb.tris[t + 1], mb.tris[t + 2]);  // flip toward outside
-    }
 
     *out_nverts = (int64_t)(mb.verts.size() / 3);
     *out_ntris = (int64_t)(mb.tris.size() / 3);

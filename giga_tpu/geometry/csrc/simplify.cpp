@@ -131,25 +131,30 @@ int simplify_mesh(const double* in_verts, int64_t nv,
 
                 V3 newpos = {best[0], best[1], best[2]};
 
-                // reject if any surviving incident face flips its normal
-                bool flips = false;
-                for (int64_t vf : vfaces[v1]) {
-                    if (face_dead[vf]) continue;
-                    int64_t a = find(faces[3 * vf]), b = find(faces[3 * vf + 1]), c = find(faces[3 * vf + 2]);
-                    if ((a == v1) + (b == v1) + (c == v1) &&
-                        (a == v2 || b == v2 || c == v2))
-                        continue;  // face dies in the collapse
-                    V3 pa = a == v1 ? verts[v1] : verts[a];
-                    V3 pb = b == v1 ? verts[v1] : verts[b];
-                    V3 pc = c == v1 ? verts[v1] : verts[c];
-                    V3 n0 = cross(sub(pb, pa), sub(pc, pa));
-                    V3 qa = a == v1 ? newpos : pa;
-                    V3 qb = b == v1 ? newpos : pb;
-                    V3 qc = c == v1 ? newpos : pc;
-                    V3 n1 = cross(sub(qb, qa), sub(qc, qa));
-                    if (dot(n0, n1) < 0) { flips = true; break; }
-                }
-                if (flips) continue;
+                // reject if any surviving incident face flips its normal —
+                // BOTH rings move: faces touching v1 move because v1 takes
+                // newpos, faces touching only v2 move because v2 remaps
+                // onto newpos too
+                auto ring_flips = [&](int64_t moved) {
+                    for (int64_t vf : vfaces[moved]) {
+                        if (face_dead[vf]) continue;
+                        int64_t a = find(faces[3 * vf]);
+                        int64_t b = find(faces[3 * vf + 1]);
+                        int64_t c = find(faces[3 * vf + 2]);
+                        if ((a == v1 || b == v1 || c == v1) &&
+                            (a == v2 || b == v2 || c == v2))
+                            continue;  // face dies in the collapse
+                        V3 pa = verts[a], pb = verts[b], pc = verts[c];
+                        V3 n0 = cross(sub(pb, pa), sub(pc, pa));
+                        V3 qa = a == moved ? newpos : pa;
+                        V3 qb = b == moved ? newpos : pb;
+                        V3 qc = c == moved ? newpos : pc;
+                        V3 n1 = cross(sub(qb, qa), sub(qc, qa));
+                        if (dot(n0, n1) < 0) return true;
+                    }
+                    return false;
+                };
+                if (ring_flips(v1) || ring_flips(v2)) continue;
 
                 // collapse v2 -> v1 at newpos
                 verts[v1] = newpos;

@@ -182,6 +182,11 @@ def _load_stl_ascii(path) -> TriMesh:
             parts = line.split()
             if parts and parts[0] == "vertex":
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    if not verts:
+        # a binary STL whose 'solid...' header decoded as text: no 'vertex'
+        # tokens exist; raising sends _load_stl to the binary parser instead
+        # of silently returning an empty mesh
+        raise ValueError("no ASCII STL vertex records")
     verts = np.asarray(verts)
     faces = np.arange(len(verts)).reshape(-1, 3)
     return _dedupe(verts, faces)

@@ -8,6 +8,7 @@ numpy fallback covers environments without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -30,14 +31,20 @@ def _build() -> bool:
         _LIB_PATH.stat().st_mtime >= s.stat().st_mtime for s in sources
     ):
         return True
+    # build to a per-process temp name + atomic rename: mp.Pool workers (the
+    # *_parallel.py data scripts) may race this build, and a reader must
+    # never CDLL a half-written .so
+    tmp = _LIB_PATH.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        *map(str, sources), "-o", str(_LIB_PATH),
+        *map(str, sources), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -50,70 +57,79 @@ def get_lib():
         if not _build():
             _build_failed = True
             return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.mesh_contains.restype = ctypes.c_int
-        lib.mesh_contains.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.marching_tetrahedra.restype = ctypes.c_int
-        lib.marching_tetrahedra.argtypes = [
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.marching_tetrahedra_cells.restype = ctypes.c_int
-        lib.marching_tetrahedra_cells.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.free_mesh_buffers.restype = None
-        lib.free_mesh_buffers.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.voxelize_surface_exact.restype = ctypes.c_int
-        lib.voxelize_surface_exact.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.raster_mesh.restype = ctypes.c_int
-        lib.raster_mesh.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.simplify_mesh.restype = ctypes.c_int
-        lib.simplify_mesh.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_double,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        _lib = lib
+        try:
+            _lib = _load_and_bind()
+        except (OSError, AttributeError):
+            # corrupt/stale .so (e.g. an interrupted build): engage the
+            # numpy fallbacks instead of crashing every consumer
+            _build_failed = True
         return _lib
+
+
+def _load_and_bind():
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.mesh_contains.restype = ctypes.c_int
+    lib.mesh_contains.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.marching_tetrahedra.restype = ctypes.c_int
+    lib.marching_tetrahedra.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.marching_tetrahedra_cells.restype = ctypes.c_int
+    lib.marching_tetrahedra_cells.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.free_mesh_buffers.restype = None
+    lib.free_mesh_buffers.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.voxelize_surface_exact.restype = ctypes.c_int
+    lib.voxelize_surface_exact.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.raster_mesh.restype = ctypes.c_int
+    lib.raster_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.simplify_mesh.restype = ctypes.c_int
+    lib.simplify_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
 
 
 def check_mesh_contains(mesh, points: np.ndarray) -> np.ndarray:

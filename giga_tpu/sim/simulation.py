@@ -58,7 +58,8 @@ class ClutterRemovalSim:
         self.add_noise = add_noise
         self.sideview = sideview
 
-        self.rng = np.random.RandomState(seed) if seed else np.random
+        # `is not None`: seed=0 must seed (0 is falsy but a valid seed)
+        self.rng = np.random.RandomState(seed) if seed is not None else np.random
         self.world = btsim.BtWorld(gui, save_dir, save_freq)
         self.gripper = Gripper(self.world, self.urdf_root)
         self.size = 6 * self.gripper.finger_depth

@@ -78,9 +78,15 @@ def sample_iou_points(mesh_list, bounds, num_point, padding: float = 0.02,
     return points, occ
 
 
-def get_occ_from_world(world, object_set):
-    """Sample the standard 1M labeled occupancy points for one scene."""
+def get_occ_from_world(world, object_set, rng=None):
+    """Sample the standard 1M labeled occupancy points for one scene.
+
+    Pass ``rng`` for reproducible ground truth — the global-numpy default
+    makes the point set call-order dependent (see CLAUDE.md on mesh_to_tsdf).
+    """
     mesh_pose_list = get_mesh_pose_list_from_world(world, object_set)
     scene, mesh_list = get_scene_from_mesh_pose_list(mesh_pose_list, return_list=True)
-    points, occ = sample_iou_points(mesh_list, scene.bounds, N_IOU_POINTS * N_IOU_POINTS_FILES)
+    points, occ = sample_iou_points(
+        mesh_list, scene.bounds, N_IOU_POINTS * N_IOU_POINTS_FILES, rng=rng
+    )
     return points, occ
