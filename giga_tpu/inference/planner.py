@@ -535,9 +535,16 @@ class VGNPlanner:
         self._fn = build_vgn_planner_fn(net, self.planner_cfg, size)
 
     def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):
-        grid, process_grid, voxel_size, _ = _get_grids(state, 40, self.size)
+        # reference VGN uses ONLY state.tsdf (detection.py:44-47): a hi-res
+        # tsdf_process (attached by the experiment harness at
+        # resolution != 40) must neither mask the 40^3 volumes (shape
+        # mismatch) nor set the voxel scale
+        grid, _, _, _ = _get_grids(state, 40, self.size)
+        tsdf = state.tsdf
+        voxel_size = (self.size / 40 if isinstance(tsdf, np.ndarray)
+                      else tsdf.voxel_size)
         tic = time.time()
-        cands, raw = self._fn(self.params, jnp.asarray(grid), jnp.asarray(process_grid))
+        cands, raw = self._fn(self.params, jnp.asarray(grid), jnp.asarray(grid))
         cands = jax.device_get(cands)
         toc = time.time() - tic
         grasps, scores = candidates_to_grasps(

@@ -136,7 +136,15 @@ def compose_scene(colored_scene_mesh: TriMesh, grasps, scores) -> TriMesh:
         parts.append(glyph)
         colors.append(glyph.face_colors)
     out = concatenate(parts)
-    if all(c is not None for c in colors):
+    if any(c is not None for c in colors):
+        # parts without colors (e.g. the uncolored scene mesh when
+        # affordance splatting found no qualifying voxels) get a neutral
+        # gray instead of dropping every glyph's colors with them
+        colors = [
+            c if c is not None
+            else np.full((len(p.faces), 3), 180, np.uint8)
+            for c, p in zip(colors, parts)
+        ]
         out.face_colors = np.concatenate(colors)
     return out
 

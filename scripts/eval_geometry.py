@@ -27,9 +27,9 @@ from giga_tpu.sim.noise import set_random_seed
 
 
 def main(args):
-    stamp = datetime.now().strftime("%y-%m-%d-%H-%M")
+    stamp = datetime.now().strftime("%y-%m-%d-%H-%M-%S")
     logdir = args.logdir / f"{stamp}_eval_geo_dataset={args.dataset.name},net={args.type},th={args.th}"
-    logdir.mkdir(parents=True)
+    logdir.mkdir(parents=True, exist_ok=True)
 
     net, cfg, params = load_network(args.model_path, args.type)
     generator = MeshGenerator(

@@ -78,14 +78,19 @@ def side_views(sim, n=1, randomize=False):
     return render_views(sim, specs)
 
 
-def pick_surface_candidate(points, normals, finger_depth, eps=0.1):
-    """Random upward-facing surface point, pushed along its outward normal."""
-    while True:
+def pick_surface_candidate(points, normals, finger_depth, eps=0.1,
+                           max_attempts=200):
+    """Random upward-facing surface point, pushed along its outward normal.
+
+    Returns None after max_attempts (a scan can contain ONLY downward-facing
+    normals, e.g. overhangs; the reference's unbounded loop hangs there)."""
+    for _ in range(max_attempts):
         k = np.random.randint(len(points))
         if normals[k][2] > -0.1:
-            break
-    depth_offset = np.random.uniform(-eps * finger_depth, (1.0 + eps) * finger_depth)
-    return points[k] + normals[k] * depth_offset, normals[k]
+            depth_offset = np.random.uniform(
+                -eps * finger_depth, (1.0 + eps) * finger_depth)
+            return points[k] + normals[k] * depth_offset, normals[k]
+    return None
 
 
 def grasp_frame_from_normal(normal):
@@ -172,7 +177,11 @@ def worker(args, rank):
             )
 
         for _ in range(args.grasps_per_scene):
-            point, normal = pick_surface_candidate(points, normals, sim.gripper.finger_depth)
+            cand = pick_surface_candidate(points, normals, sim.gripper.finger_depth)
+            if cand is None:
+                print("No upward-facing surface point, skipping scene")
+                break
+            point, normal = cand
             grasp, label = label_grasp_point(sim, point, normal)
             io.write_grasp(args.root, scene_id, grasp, label)
             pbar.update()
@@ -196,9 +205,11 @@ if __name__ == "__main__":
     args = parser.parse_args()
     if args.num_proc > 1:
         pool = mp.Pool(processes=args.num_proc)
-        for i in range(args.num_proc):
-            pool.apply_async(func=worker, args=(args, i))
+        results = [pool.apply_async(func=worker, args=(args, i))
+                   for i in range(args.num_proc)]
         pool.close()
         pool.join()
+        for r in results:
+            r.get()  # surface worker exceptions instead of exiting 0 silently
     else:
         worker(args, 0)
