@@ -100,83 +100,36 @@ def decode_dense(dec_params: dict, feats: dict, coords: jnp.ndarray, n_blocks: i
                  shard_constraint=None):
     """Run the stacked decoder heads on the full R^3 lattice.
 
+    A unit-batch wrapper over ``decode_dense_batched`` — one trunk
+    implementation serves both paths (the B=1 broadcast adds/squeezes a
+    leading axis of extent 1, which XLA folds away; numerics and the fused
+    block-diagonal trunk are identical).
+
     Args:
         dec_params: a StackedLocalDecoder param dict (heads axis first).
         feats: {t: (R, R, C)} per-plane lattice features from
             ``sample_planes_on_lattice``.
         coords: (R,) per-axis query coordinates.
-        shard_constraint: optional NamedSharding applied to the (e, Rx, Ry,
-            Rz, h) hidden state — sharding the x axis over a device mesh
+        shard_constraint: optional NamedSharding applied to the (Rx, Ry,
+            Rz, F) hidden state — sharding the x axis over a device mesh
             makes GSPMD partition the whole trunk (the decode is a pure map
             over queries; plane features are tiny and replicate).
     Returns:
         (heads, R, R, R, out_dim) raw outputs, indexed [h, ix, iy, iz, o].
     """
-    R = coords.shape[0]
-    pk, heads, h = _fused_head_weights(dec_params, n_blocks)
-    coords = coords.astype(pk["fc_p_kernel"].dtype)
-
-    # 'dense': pre-sampled (R, R, R, C) features (the 'grid' encoder variant)
-    # — no per-plane factorization applies, fc_c runs on the full volume
-    dense = feats.get("dense")
-    if dense is None:
-        c_dim = dec_params["fc_c0_kernel"].shape[1] // 3
-        fxz, fxy, fyz = feats["xz"], feats["xy"], feats["yz"]
-
-    # fc_p is linear in (x, y, z): separable broadcast; F = heads*h
-    w_p = pk["fc_p_kernel"]  # (3, F)
-    px = jnp.einsum("r,k->rk", coords, w_p[0], precision=HI)
-    py = jnp.einsum("r,k->rk", coords, w_p[1], precision=HI)
-    pz = jnp.einsum("r,k->rk", coords, w_p[2], precision=HI)
-    net = (
-        px[:, None, None, :]
-        + py[None, :, None, :]
-        + pz[None, None, :, :]
-        + pk["fc_p_bias"]
-    )  # (R, R, R, F)
     if shard_constraint is not None:
-        net = jax.lax.with_sharding_constraint(net, shard_constraint)
+        # the batched hidden state has a leading unit batch axis; keep the
+        # caller's per-axis spec aligned by prepending an unsharded dim
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    def block(net, i):
-        w_c = pk[f"fc_c{i}_kernel"]  # (3c|c, F)
-        b_c = pk[f"fc_c{i}_bias"]
-        if dense is not None:
-            proj = jnp.einsum("abcf,fh->abch", dense, w_c, precision=HI)
-            net = net + proj + b_c
-        else:
-            # fc_c[i] split into per-plane projections on the 2D lattices
-            w_xz, w_xy, w_yz = (
-                w_c[:c_dim], w_c[c_dim : 2 * c_dim], w_c[2 * c_dim :]
-            )
-            pxz = jnp.einsum("abc,ch->abh", fxz, w_xz, precision=HI)  # (Rx, Rz, F)
-            pxy = jnp.einsum("abc,ch->abh", fxy, w_xy, precision=HI)  # (Rx, Ry, F)
-            pyz = jnp.einsum("abc,ch->abh", fyz, w_yz, precision=HI)  # (Ry, Rz, F)
-            net = (
-                net
-                + pxz[:, None, :, :]
-                + pxy[:, :, None, :]
-                + pyz[None, :, :, :]
-                + b_c
-            )
-        # ResnetBlockFC on the full volume, block-diagonal over heads
-        hid = jnp.einsum(
-            "...k,kj->...j", jax.nn.relu(net), pk[f"block{i}_fc0_kernel"],
-            precision=HI,
-        ) + pk[f"block{i}_fc0_bias"]
-        dx = jnp.einsum(
-            "...k,kj->...j", jax.nn.relu(hid), pk[f"block{i}_fc1_kernel"],
-            precision=HI,
-        ) + pk[f"block{i}_fc1_bias"]
-        return net + dx
-
-    for i in range(n_blocks):
-        net = block(net, i)
-
-    out = jnp.einsum(
-        "...k,ko->...o", jax.nn.relu(net), pk["fc_out_kernel"], precision=HI
-    ) + pk["fc_out_bias"]  # (R, R, R, heads*o)
-    o = dec_params["fc_out_bias"].shape[-1]
-    return out.reshape(R, R, R, heads, o).transpose(3, 0, 1, 2, 4)
+        shard_constraint = NamedSharding(
+            shard_constraint.mesh, PartitionSpec(None, *shard_constraint.spec)
+        )
+    out = decode_dense_batched(
+        dec_params, {t: v[None] for t, v in feats.items()}, coords, n_blocks,
+        shard_constraint,
+    )
+    return out[:, 0]
 
 
 def decode_lattice_points(dec_params: dict, feats: dict, coords: jnp.ndarray,

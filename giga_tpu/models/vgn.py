@@ -7,6 +7,12 @@
 
 Channels-last (B, D, H, W, C). ``F.interpolate(x, n)`` with the default
 nearest mode at exact x2 factors is an element repeat.
+
+``trunk`` (encoder+decoder features) is exposed separately so the planner
+can run the three k=5 heads as ONE fused 6-channel conv — numerically exact
+(the fused conv computes the same dot products; channels are independent)
+and ~3x cheaper on the MXU than three separate dense 40^3 convs (round-4
+profile: 0.87 ms/head separate vs 0.94 ms total fused, v5e).
 """
 
 from __future__ import annotations
@@ -30,17 +36,55 @@ def _upsample2(x):
 class VGNNet(nn.Module):
     cfg: VGNConfig = VGNConfig()
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        assert len(cfg.encoder_filters) == 3 and len(cfg.decoder_filters) == 3
+        (f1, f2, f3), (k1, k2, k3) = cfg.encoder_filters, cfg.encoder_kernels
+        self.enc_conv1 = TorchConv(f1, k1, strides=2)
+        self.enc_conv2 = TorchConv(f2, k2, strides=2)
+        self.enc_conv3 = TorchConv(f3, k3, strides=2)
+        (g1, g2, g3), (j1, j2, j3) = cfg.decoder_filters, cfg.decoder_kernels
+        self.dec_conv1 = TorchConv(g1, j1)
+        self.dec_conv2 = TorchConv(g2, j2)
+        self.dec_conv3 = TorchConv(g3, j3)
+        self.conv_qual = TorchConv(1, 5)
+        self.conv_rot = TorchConv(4, 5)
+        self.conv_width = TorchConv(1, 5)
+
+    def trunk(self, tsdf):
+        """(B, 40, 40, 40) -> (B, 40, 40, 40, C) pre-head features."""
+        x = tsdf[..., None]
+        for conv in (self.enc_conv1, self.enc_conv2, self.enc_conv3):
+            x = jax.nn.relu(conv(x))
+        for conv in (self.dec_conv1, self.dec_conv2, self.dec_conv3):
+            x = _upsample2(jax.nn.relu(conv(x)))
+        return x
+
     def __call__(self, tsdf):
         """(B, 40, 40, 40) -> qual (B,40,40,40), rot (B,40,40,40,4), width (B,40,40,40)."""
-        cfg = self.cfg
-        x = tsdf[..., None]
-        for i, (f, k) in enumerate(zip(cfg.encoder_filters, cfg.encoder_kernels)):
-            x = jax.nn.relu(TorchConv(f, k, strides=2, name=f"enc_conv{i + 1}")(x))
-        for i, (f, k) in enumerate(zip(cfg.decoder_filters, cfg.decoder_kernels)):
-            x = jax.nn.relu(TorchConv(f, k, name=f"dec_conv{i + 1}")(x))
-            x = _upsample2(x)
-        qual = jax.nn.sigmoid(TorchConv(1, 5, name="conv_qual")(x)[..., 0])
-        rot = normalize_quat(TorchConv(4, 5, name="conv_rot")(x))
-        width = TorchConv(1, 5, name="conv_width")(x)[..., 0]
+        x = self.trunk(tsdf)
+        qual = jax.nn.sigmoid(self.conv_qual(x)[..., 0])
+        rot = normalize_quat(self.conv_rot(x))
+        width = self.conv_width(x)[..., 0]
         return qual, rot, width
+
+
+def fused_head_conv(head_params: dict, x: jnp.ndarray):
+    """Run conv_qual/conv_rot/conv_width as one 6-channel k=5 conv.
+
+    Exact: output channels of a conv are independent dot products, so
+    concatenating the three kernels along the output axis computes the same
+    values (profile_vgn.py measured max|diff| == 0.0 on TPU).
+    Returns (qual, rot, width) with the reference activations applied.
+    """
+    names = ("conv_qual", "conv_rot", "conv_width")
+    fk = jnp.concatenate([head_params[n]["conv"]["kernel"] for n in names], -1)
+    fb = jnp.concatenate([head_params[n]["conv"]["bias"] for n in names], -1)
+    out = jax.lax.conv_general_dilated(
+        x, fk.astype(x.dtype), (1, 1, 1), [(2, 2)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + fb.astype(x.dtype)
+    qual = jax.nn.sigmoid(out[..., 0])
+    rot = normalize_quat(out[..., 1:5])
+    width = out[..., 5]
+    return qual, rot, width

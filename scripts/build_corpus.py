@@ -30,7 +30,9 @@ def main(args):
     t0 = time.time()
     built = 0
     for shard in range(n_shards):
-        path = out / f"shard_{shard:03d}.npz"
+        # tag keeps shards from different seed ranges distinct so several
+        # ranges can share one corpus dir (load_corpus globs shard_*.npz)
+        path = out / f"shard_{args.tag}{shard:03d}.npz"
         lo = shard * args.shard_size
         hi = min(lo + args.shard_size, args.n_scenes)
         if path.exists():
@@ -58,5 +60,7 @@ if __name__ == "__main__":
     p.add_argument("--shard-size", type=int, default=60)
     p.add_argument("--size", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tag", type=str, default="",
+                   help="shard filename tag (shard_<tag>NNN.npz)")
     p.add_argument("--out", type=str, default="data/corpus")
     raise SystemExit(main(p.parse_args()))
