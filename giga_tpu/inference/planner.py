@@ -133,7 +133,7 @@ def build_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig
 
 def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: PlannerConfig,
                                   size: float, dtype=None, use_pallas: bool = False,
-                                  mesh=None, axis: str = "dp"):
+                                  mesh=None, axis: str = "dp", sp_axis: str | None = None):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
@@ -154,11 +154,24 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     but shard_map runs the whole per-device program — including the kernel —
     independently per chip; the pipeline is a pure map over scenes, so no
     collectives exist to lose).
+
+    ``sp_axis`` composes spatial sharding with data parallelism on a 2D mesh
+    (e.g. Mesh((dp, sp))): the batch axis shards over ``axis`` AND the dense
+    decode's hidden state shards its lattice x axis over ``sp_axis`` — one
+    program covering a whole pod slice (dp x sp), XLA path only.
     """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
 
     import contextlib
+
+    decode_constraint = None
+    if mesh is not None and sp_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert not use_pallas, "sp composition requires the XLA decode path"
+        # (B, Rx, Ry, Rz, F) hidden state: batch over dp, lattice x over sp
+        decode_constraint = NamedSharding(mesh, P(axis, sp_axis))
 
     def plan(params, tsdfs, tsdf_process):
         ctx = (jax.default_matmul_precision("highest") if dtype is None
@@ -211,7 +224,8 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                 )
             else:
                 qual, rot, width = decode_affordance_dense_batched(
-                    p["decoder_aff"], feats, coords, n_blocks
+                    p["decoder_aff"], feats, coords, n_blocks,
+                    shard_constraint=decode_constraint,
                 )
             # postprocess always runs fp32 (threshold/NMS/top-K ordering)
             qual, rot, width = (

@@ -103,3 +103,34 @@ def test_dp_shard_map_pallas_serving_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(c1.scores)[b, :n], np.asarray(c2.scores)[b, :n], atol=1e-5
         )
+
+
+def test_composed_dp_sp_mesh_matches_unsharded():
+    """2x4 dp*sp mesh: batch sharded over dp AND the dense decode's lattice
+    x axis over sp in ONE program (the pod-slice composition, round-4
+    VERDICT #7) — equals the unsharded batched planner."""
+    assert len(jax.devices()) >= 8
+    from jax.sharding import Mesh
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    net, cfg = get_network("giga")
+    tsdf0 = jnp.zeros((1, 40, 40, 40))
+    p0 = jnp.zeros((1, 1, 3))
+    params = net.init(jax.random.PRNGKey(0), tsdf0, p0, p0)
+    pcfg = PlannerConfig(force_detection=True)
+
+    rng = np.random.RandomState(2)
+    grids = jnp.asarray(rng.rand(2, 40, 40, 40).astype(np.float32))
+
+    bplan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3)
+    cplan = build_batched_giga_planner_fn(net, cfg, pcfg, 0.3, mesh=mesh2,
+                                          sp_axis="sp")
+    c1, _ = jax.device_get(bplan(params, grids, grids))
+    c2, _ = jax.device_get(cplan(params, grids, grids))
+    np.testing.assert_array_equal(np.asarray(c1.count), np.asarray(c2.count))
+    np.testing.assert_allclose(np.asarray(c1.scores), np.asarray(c2.scores),
+                               atol=1e-5)
+    for b in range(2):
+        n = int(np.asarray(c1.count)[b])
+        np.testing.assert_array_equal(
+            np.asarray(c1.positions)[b, :n], np.asarray(c2.positions)[b, :n])
