@@ -60,6 +60,8 @@ def oracle_eval(params, n_scenes, seed, top_k=5, qual_th=0.8):
 
 
 def main(args):
+    import json
+
     corpus_np = load_corpus(args.corpus)
     n_scenes = corpus_np["tsdf"].shape[0]
     print(f"corpus: {n_scenes} scenes, "
@@ -75,10 +77,52 @@ def main(args):
     dtype = jnp.bfloat16 if args.bf16 else None
     step = make_train_step(net, cfg, dtype=dtype, assemble=assemble_batch)
 
+    # held-out validation split (reference protocol: random 0.9/0.1 split,
+    # train_giga.py:128-131; here the TAIL of the shuffled scene index so
+    # the split is reproducible from the seed alone)
+    perm = np.random.RandomState(args.seed + 7).permutation(n_scenes)
+    n_val = int(round(args.val_frac * n_scenes))
+    train_idx, val_idx = perm[: n_scenes - n_val], perm[n_scenes - n_val:]
+
     corpus = device_corpus(corpus_np)
-    sampler = CorpusSampler(corpus_np, np.arange(n_scenes), args.batch,
+    sampler = CorpusSampler(corpus_np, train_idx, args.batch,
                             args.batch_occ, seed=args.seed,
                             augment=not args.no_augment)
+
+    history_path = None
+    val_batches, eval_step = [], None
+    if n_val > 0:
+        from giga_tpu.train.trainer import make_eval_step, summarize_metrics
+
+        eval_step = make_eval_step(net, cfg)
+        assemble = jax.jit(assemble_batch)
+        # fixed deterministic val batches (no augmentation, fixed occ subset)
+        vs = CorpusSampler(corpus_np, val_idx, args.batch, args.batch_occ,
+                           seed=12345, augment=False)
+        for _ in range(max(1, (2 * n_val) // args.batch)):
+            val_batches.append({k: jnp.asarray(v) for k, v in vs().items()})
+        history_path = Path(args.out).with_suffix(".history.jsonl") if args.out else None
+        if history_path is not None:
+            history_path.parent.mkdir(parents=True, exist_ok=True)
+            history_path.write_text("")  # fresh run
+
+    def run_val(params, it):
+        accum = [
+            {k: float(v) for k, v in
+             jax.device_get(eval_step(params, assemble(corpus, sel))).items()}
+            for sel in val_batches
+        ]
+        summary = summarize_metrics(accum)
+        print(
+            f"step {it}: val loss {summary.get('loss_all', float('nan')):.4f} "
+            f"acc {summary.get('accuracy', 0):.3f} "
+            f"prec {summary.get('precision', 0):.3f} "
+            f"rec {summary.get('recall', 0):.3f} "
+            f"({len(val_batches)} batches x {args.batch})", flush=True)
+        if history_path is not None:
+            with history_path.open("a") as f:
+                f.write(json.dumps({"step": it, **summary}) + "\n")
+        return summary
 
     # EMA of params: the oracle-GSR trajectory oscillates strongly between
     # checkpoints (round-3 runs: 16-47% swings at adjacent evals); a slow
@@ -107,6 +151,8 @@ def main(args):
             loss = float(jax.device_get(terms["loss_all"]))
             print(f"step {it}: loss {loss:.4f} "
                   f"({(time.time() - t0) / it * 1e3:.0f} ms/step avg)", flush=True)
+        if eval_step is not None and (it % args.eval_every == 0 or it == args.steps):
+            run_val(state.params, it)
         if it % args.eval_every == 0 or it == args.steps:
             # multi-seed selection: the 12-scene single-seed protocol was
             # noisy enough to pick checkpoints that lose 20 GSR points on a
@@ -155,5 +201,8 @@ if __name__ == "__main__":
                    help="independent eval seeds averaged for selection")
     p.add_argument("--ema", type=float, default=0.999,
                    help="params EMA decay; 0 disables")
+    p.add_argument("--val-frac", type=float, default=0.05,
+                   help="held-out scene fraction for val loss/acc curves "
+                        "(history written next to --out); 0 disables")
     p.add_argument("--out", type=str, default="checkpoints/corpus_giga.msgpack")
     raise SystemExit(main(p.parse_args()))
