@@ -1,10 +1,13 @@
 """Stage-level roofline of the batched GIGA serving path (B scenes/program).
 
-Prefix-differencing with the true-barrier protocol (utils/benchmark.py):
-each stage's cost = latency(prefix through stage) - latency(previous
-prefix). Per-stage FLOPs and HBM bytes come from XLA's own
-``compile().cost_analysis()``, so MFU and achieved bandwidth are reported
-per stage — the published bottleneck table VERDICT r2 #2 asked for.
+Prefix-differencing with the SERIAL-CHAIN protocol (utils/benchmark.py::
+serial_chain_latency — round 3 caught the tunnel replay-caching the older
+cycled-inputs protocol): each stage's cost = latency(prefix through stage)
+- latency(previous prefix), measured as N serially-dependent invocations
+inside one program with every output leaf reduced (reducing one leaf lets
+XLA dead-code-eliminate the rest). Per-stage FLOPs and HBM bytes come from
+XLA's own ``compile().cost_analysis()``, so MFU and achieved bandwidth are
+reported per stage — the bottleneck table VERDICT r2 #2 / r3 #4 asked for.
 
 Stages (reference hot loop analog: ConvONets decoder.py:133-176 +
 unet.py:225; ours is the batched lattice-factorized pipeline):
@@ -55,7 +58,9 @@ def main() -> None:
     )
     from giga_tpu.inference.planner import build_batched_giga_planner_fn
     from giga_tpu.models.registry import get_network
-    from giga_tpu.utils.benchmark import dispatch_floor, true_latency
+    import functools
+
+    from giga_tpu.utils.benchmark import dispatch_floor, serial_chain_latency
 
     B = args.batch
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
@@ -137,6 +142,24 @@ def main() -> None:
           f"pallas={args.pallas} R={args.resolution} "
           f"dispatch_floor={floor * 1e3:.3f} ms", file=sys.stderr)
 
+    def chain_latency(fn):
+        """Serial-chain per-call seconds of fn(params, tsdfs)."""
+        raw = getattr(fn, "__wrapped__", fn)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(n, t0):
+            def body(i, acc):
+                out = raw(params, t0 + acc * 1e-24)
+                leaves = [l.astype(jnp.float32) for l in jax.tree.leaves(out)]
+                return acc + sum(
+                    jnp.sum(jnp.where(jnp.isfinite(l), l, 0.0)) for l in leaves
+                )
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return serial_chain_latency(loop, (batches[0],), inner=args.n_hi - 1,
+                                    repeats=args.repeats)
+
     def cost_of(fn, fargs):
         try:
             c = fn.lower(*fargs).compile().cost_analysis()
@@ -152,8 +175,7 @@ def main() -> None:
           f"{'MFU%':>6s} {'GB/s':>7s} {'scenes/s':>9s}")
     for name, fn in stages:
         fn(params, batches[0])  # warm/compile
-        t = true_latency(fn, [(params, b) for b in batches],
-                         n_hi=args.n_hi, repeats=args.repeats)
+        t = chain_latency(fn)
         fl, by = (cost_of(fn, (params, batches[0])) if hasattr(fn, "lower")
                   else cost_of(full_fn, (params, batches[0], batches[0])))
         d_t = t - prev_t
