@@ -21,12 +21,14 @@ from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
 from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 
 
-def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8):
+def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8,
+                        precision="fp32"):
     net, cfg = get_network("giga")
     params = load_params(params_path)
     planner = GIGAPlanner(
         net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
         low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
+        precision=precision,
     )
     rng = np.random.RandomState(seed)
     labels_all, dists_all, counts = [], [], []
@@ -55,6 +57,10 @@ if __name__ == "__main__":
     parser.add_argument("--n-scenes", type=int, default=8)
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--seed", type=int, default=1000)
+    parser.add_argument("--precision", choices=["fp32", "bf16"], default="fp32",
+                        help="planner trunk precision (bf16 drift gate, "
+                             "VERDICT r3 #8)")
     args = parser.parse_args()
-    out = evaluate_checkpoint(args.params, args.n_scenes, args.top_k, args.seed)
+    out = evaluate_checkpoint(args.params, args.n_scenes, args.top_k, args.seed,
+                              precision=args.precision)
     print(out)
