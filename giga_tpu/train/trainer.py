@@ -234,13 +234,25 @@ def make_eval_step(net, cfg, mesh=None, axis: str = "dp"):
 
 
 def summarize_metrics(accum: list[dict]) -> dict:
-    """Average loss terms; derive accuracy/precision/recall from counts."""
+    """Average loss terms; derive accuracy/precision/recall from counts.
+
+    Losses are averaged per SAMPLE when batch counts are available (each
+    batch's mean loss weighted by its "n"); a plain per-batch mean would let
+    a short last batch skew the epoch summary. Count-derived metrics are
+    exact either way.
+    """
     if not accum:
         return {}
     keys = accum[0].keys()
     tot = {k: float(np.sum([a[k] for a in accum])) for k in keys}
     n_batches = len(accum)
-    out = {k: tot[k] / n_batches for k in keys if k.startswith("loss")}
+    if "n" in tot and tot["n"] > 0:
+        out = {
+            k: float(np.sum([a[k] * a["n"] for a in accum])) / tot["n"]
+            for k in keys if k.startswith("loss")
+        }
+    else:
+        out = {k: tot[k] / n_batches for k in keys if k.startswith("loss")}
     if "n" in tot and tot["n"] > 0:
         tp, fp, fn = tot.get("tp", 0), tot.get("fp", 0), tot.get("fn", 0)
         out["accuracy"] = tot["correct"] / tot["n"]
