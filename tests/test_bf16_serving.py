@@ -48,7 +48,10 @@ def _voxels(grasps):
 
 
 def test_corpus_non_degenerate(results):
-    assert all(len(r32[0]) >= 5 for r32, _ in results)
+    # the round-4 checkpoint is more selective than round 3's (one fixture
+    # scene yields 4 candidates, counts 4-22); the ensemble must stay large
+    assert all(len(r32[0]) >= 3 for r32, _ in results)
+    assert sum(len(r32[0]) for r32, _ in results) >= 8 * N_SCENES
 
 
 def test_top1_equally_good(results):
