@@ -19,6 +19,58 @@ from giga_tpu.geometry.native import marching_tetrahedra
 from giga_tpu.geometry.refine import refine_grid
 
 
+def compact_mask_anchored(mask3d: jnp.ndarray, k_half: int, k: int,
+                          sort: bool = False):
+    """Flat indices of True cells of a cubic 3D mask — anchored two-level
+    compaction.
+
+    ``jnp.nonzero(size=)`` over a dense fine lattice is the dominant cost of
+    the device refine chain on TPU (measured round 4: ~9 ms per MILLION mask
+    elements — 153 ms at 257^3, twice per call). This computes the same
+    indices through two compactions at ~1/8 and ~list scale:
+
+        1. anchor mask A[a] = any of the 2x2x2 block at 2a is True
+           (reshape-any, elementwise-cheap), nonzero over (P/2)^3,
+        2. expand each of the <= k_half active anchors to its 8 block cells
+           arithmetically, flag by the original mask (gather), and compact
+           the 8*k_half candidate list.
+
+    Anchors partition the lattice, so each True cell appears exactly once.
+    Returns (idx (k,) int32 with 0 fill, count, anchor_count); results are
+    complete ONLY if count <= k AND anchor_count <= k_half — callers must
+    check both (tier fallback). With ``sort`` the valid prefix is ascending
+    like ``jnp.nonzero``'s output (cell order affects band/mesh vertex
+    ordering); without it the order is anchor-major.
+    """
+    P = mask3d.shape[0]
+    ph = (P + 1) // 2
+    mp = jnp.pad(mask3d, ((0, 2 * ph - P),) * 3)
+    anchors = mp.reshape(ph, 2, ph, 2, ph, 2).any(axis=(1, 3, 5))
+    cnt_a = anchors.sum(dtype=jnp.int32)
+    (aidx,) = jnp.nonzero(anchors.reshape(-1), size=k_half, fill_value=0)
+    ax = aidx // (ph * ph)
+    ay = (aidx // ph) % ph
+    az = aidx % ph
+    # 8 block cells per anchor, (x, y, z)-lex so each anchor's children are
+    # flat-ascending; dims of mp (2*ph) keep out-of-range children False
+    off = np.arange(8)
+    cx = 2 * ax[:, None] + (off >> 2)
+    cy = 2 * ay[:, None] + ((off >> 1) & 1)
+    cz = 2 * az[:, None] + (off & 1)
+    flags = mp[cx, cy, cz] & (jnp.arange(k_half, dtype=jnp.int32) < cnt_a)[:, None]
+    flat = ((cx * P + cy) * P + cz).astype(jnp.int32).reshape(-1)
+    count = flags.sum(dtype=jnp.int32)
+    (slot,) = jnp.nonzero(flags.reshape(-1), size=k, fill_value=0)
+    valid = jnp.arange(k, dtype=jnp.int32) < count
+    idx = jnp.where(valid, flat[slot], 0)
+    if sort:
+        import jax
+
+        idx = jax.lax.sort(jnp.where(valid, idx, jnp.int32(2**31 - 1)))
+        idx = jnp.where(valid, idx, 0)
+    return idx, count, cnt_a
+
+
 class MeshGenerator:
     """Generates scene meshes from a GIGA model's occupancy decoder.
 
@@ -178,9 +230,11 @@ class MeshGenerator:
 
             n_in = cells(inside.astype(jnp.int32))
             active = (n_in > 0) & (n_in < 8)
-            flat = active.reshape(-1)
-            count = flat.sum(dtype=jnp.int32)
-            (idx,) = jnp.nonzero(flat, size=K, fill_value=0)
+            # anchored compaction (see compact_mask_anchored): fold an
+            # anchor-budget overflow into count so the host falls back
+            idx, count, cnt_a = compact_mask_anchored(active, K // 2, K,
+                                                      sort=True)
+            count = jnp.maximum(count, jnp.where(cnt_a > K // 2, K + 1, 0))
             x = idx // (C * C)
             rem = idx % (C * C)
             y = rem // C
@@ -314,9 +368,12 @@ class MeshGenerator:
                                    2 - oy : 2 - oy + P,
                                    2 - oz : 2 - oz + P]
                             m = v if m is None else m | v
-                count_p = m.sum(dtype=jnp.int32)
-                counts_p.append(count_p)
-                (pidx,) = jnp.nonzero(m.reshape(-1), size=K_p, fill_value=0)
+                pidx, count_p, cnt_a = compact_mask_anchored(m, K_p // 2, K_p)
+                # anchor-budget overflow -> force the level budget check to
+                # fail (count_p undercounts once anchors overflow)
+                counts_p.append(jnp.maximum(
+                    count_p, jnp.where(cnt_a > K_p // 2, K_p + 1, 0)
+                ))
                 valid = jnp.arange(K_p, dtype=jnp.int32) < count_p
                 px = pidx // (P * P)
                 py = (pidx // P) % P
@@ -339,9 +396,12 @@ class MeshGenerator:
             n = g.shape[0]
             gp = jnp.pad(g, 1, constant_values=OUT)
             C = n + 1
-            flat_f = straddle_cells(gp).reshape(-1)
-            count_f = flat_f.sum(dtype=jnp.int32)
-            (idx,) = jnp.nonzero(flat_f, size=K_f, fill_value=0)
+            idx, count_f, cnt_af = compact_mask_anchored(
+                straddle_cells(gp), K_f // 2, K_f, sort=True
+            )
+            count_f = jnp.maximum(
+                count_f, jnp.where(cnt_af > K_f // 2, K_f + 1, 0)
+            )
             x = idx // (C * C)
             y = (idx // C) % C
             z = idx % C
@@ -439,9 +499,9 @@ class MeshGenerator:
                         v = inside[dx : C + dx, dy : C + dy, dz : C + dz]
                         s = v.astype(jnp.int32) if s is None else s + v
             active = (s > 0) & (s < 8)
-            flat = active.reshape(-1)
-            count = flat.sum(dtype=jnp.int32)
-            (idx,) = jnp.nonzero(flat, size=K, fill_value=0)
+            idx, count, cnt_a = compact_mask_anchored(active, K // 2, K,
+                                                      sort=True)
+            count = jnp.maximum(count, jnp.where(cnt_a > K // 2, K + 1, 0))
             x = idx // (C * C)
             rem = idx % (C * C)
             y = rem // C
