@@ -160,47 +160,59 @@ def fused_dense_decode(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1, wout, bout,
 
 def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
                           w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
-                          out_ref, *, n_blocks: int, compute_dtype):
+                          out_ref, *, n_blocks: int, compute_dtype,
+                          resident_bf16: bool = False):
     """Per-(scene, x-slab-group) program; same math as _trunk_kernel with a
     scene axis on the projection refs. Each program handles SX consecutive
     x slabs — fewer grid steps and 4x-larger matmul M amortize the per-step
-    overheads (measured ~8% at SX=4 vs SX=1)."""
+    overheads (measured ~8% at SX=4 vs SX=1).
+
+    ``resident_bf16`` keeps the residual stream itself in bf16 between ops
+    (round-4 experiment): differencing the measured fp32 vs bf16 decode
+    isolates ~8 ms of VPU broadcast/assembly vs ~4.6 ms of MXU time per
+    B=64 batch, and bf16 elementwise packs 2/lane on the VPU. Numerically
+    this matches the XLA bf16 path (whose einsums also produce bf16
+    residuals), slightly better (fp32 matmul accumulation before each cast).
+    """
     R, F = py_ref.shape
     SX = px_ref.shape[0]
     out_dim = out_ref.shape[-1]
+    res_t = jnp.bfloat16 if resident_bf16 else jnp.float32
 
     net = (
         px_ref[:, 0][:, None, None, :]
         + py_ref[...][None, :, None, :]
         + pz_ref[...][None, None, :, :]
-    )  # (SX, Ry, Rz, F)
+    ).astype(res_t)  # (SX, Ry, Rz, F); block-0 assembly stays fp32-exact
     for b in range(n_blocks):
         # projection refs may arrive bf16 (halves the dominant HBM traffic;
-        # see prepare_projections_batched) — accumulate in fp32 regardless.
-        # Cast straight off the load: Mosaic can't shape-cast bf16 vectors,
-        # so the broadcast reshapes must happen on the fp32 values.
+        # see prepare_projections_batched). fp32 mode casts straight off
+        # the load (Mosaic can't shape-cast bf16 vectors, so the broadcast
+        # reshapes must happen on the fp32 values); bf16-resident mode
+        # broadcasts the bf16 values directly.
         net = (
             net
-            + pxz_ref[0, :, b].astype(jnp.float32)[:, None, :, :]
-            + pxy_ref[0, :, b].astype(jnp.float32)[:, :, None, :]
-            + pyz_ref[0, b].astype(jnp.float32)[None, :, :, :]
+            + pxz_ref[0, :, b].astype(res_t)[:, None, :, :]
+            + pxy_ref[0, :, b].astype(res_t)[:, :, None, :]
+            + pyz_ref[0, b].astype(res_t)[None, :, :, :]
         )
         flat = net.reshape(SX * R * R, F)
         hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
         dx = _mm(jax.nn.relu(hidden), w1_ref[b], compute_dtype) + b1_ref[b][None, :]
-        net = (flat + dx).reshape(SX, R, R, F)
+        net = (flat + dx.astype(res_t)).reshape(SX, R, R, F)
     flat = net.reshape(SX * R * R, F)
     out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
     out_ref[0] = out.reshape(SX, R, R, out_dim)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret", "x_slabs")
+    jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret", "x_slabs",
+                              "resident_bf16")
 )
 def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
                                wout, bout, *, n_blocks: int = 5,
                                compute_dtype=jnp.float32, interpret: bool = False,
-                               x_slabs: int = 8):
+                               x_slabs: int = 8, resident_bf16: bool = False):
     """Batched fused trunk: grid (B, Rx/x_slabs); the per-scene yz
     projection stays VMEM-resident across the inner x sweep (index_map
     depends only on b).
@@ -215,7 +227,8 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
     # largest slab group <= x_slabs that divides R (R=60 -> 6, R=80 -> 8)
     SX = next(s for s in range(min(x_slabs, R), 0, -1) if R % s == 0)
     kernel = functools.partial(
-        _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype
+        _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype,
+        resident_bf16=resident_bf16,
     )
 
     px3 = px[:, None, :]                  # (Rx, 1, F)
@@ -653,16 +666,22 @@ def decode_affordance_dense_pallas(dec_params: dict, feats: dict, coords,
 def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords,
                                            n_blocks: int = 5,
                                            compute_dtype=jnp.float32,
-                                           interpret: bool = False):
+                                           interpret: bool = False,
+                                           resident_bf16: bool | None = None):
     """Batched drop-in for decode_affordance_dense_batched via the fused kernel.
 
+    ``resident_bf16`` (default: on iff compute_dtype is bf16) keeps the
+    residual stream bf16 inside the kernel — see _trunk_kernel_batched.
     Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
+    bf16 = compute_dtype == jnp.bfloat16
+    if resident_bf16 is None:
+        resident_bf16 = bf16
     inputs = prepare_projections_batched(
         dec_params, feats, coords, n_blocks,
-        proj_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
-                    else jnp.float32),
+        proj_dtype=(jnp.bfloat16 if bf16 else jnp.float32),
     )
     out = fused_dense_decode_batched(
-        *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype, interpret=interpret
+        *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype,
+        interpret=interpret, resident_bf16=bool(resident_bf16 and bf16),
     )
     return _split_heads(out, dec_params)
