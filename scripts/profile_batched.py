@@ -87,6 +87,20 @@ def main() -> None:
     def stage_encode(params, tsdfs):
         with prec():
             p, t = cast(params["params"], tsdfs)
+            if args.pallas and jax.default_backend() == "tpu":
+                # the real --pallas serving path encodes via the fused
+                # stem+pool kernel, not the XLA encoder
+                from giga_tpu.ops.pallas.stem_kernel import (
+                    can_encode_fused,
+                    encode_planes_fused,
+                )
+
+                if can_encode_fused(cfg.encoder, tsdfs.shape):
+                    return encode_planes_fused(
+                        p["encoder"], t, cfg.encoder,
+                        compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
+                                       else jnp.float32),
+                    )
             return net.apply(
                 {"params": {"encoder": p["encoder"]}}, t, method="encode"
             )
