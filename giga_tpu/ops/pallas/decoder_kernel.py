@@ -190,11 +190,13 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
         # the load (Mosaic can't shape-cast bf16 vectors, so the broadcast
         # reshapes must happen on the fp32 values); bf16-resident mode
         # broadcasts the bf16 values directly.
+        # Mosaic cannot shape-cast bf16 vectors: index/squeeze/expand in
+        # fp32, cast to the resident dtype only after the reshapes
         net = (
             net
-            + pxz_ref[0, :, b].astype(res_t)[:, None, :, :]
-            + pxy_ref[0, :, b].astype(res_t)[:, :, None, :]
-            + pyz_ref[0, b].astype(res_t)[None, :, :, :]
+            + pxz_ref[0, :, b].astype(jnp.float32)[:, None, :, :].astype(res_t)
+            + pxy_ref[0, :, b].astype(jnp.float32)[:, :, None, :].astype(res_t)
+            + pyz_ref[0, b].astype(jnp.float32)[None, :, :, :].astype(res_t)
         )
         flat = net.reshape(SX * R * R, F)
         hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
@@ -670,12 +672,16 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
                                            resident_bf16: bool | None = None):
     """Batched drop-in for decode_affordance_dense_batched via the fused kernel.
 
-    ``resident_bf16`` (default: on iff compute_dtype is bf16) keeps the
-    residual stream bf16 inside the kernel — see _trunk_kernel_batched.
+    ``resident_bf16`` keeps the residual stream bf16 inside the kernel —
+    MEASURED SLOWER (17.8 vs 15.8 ms/batch encode+decode at B=64, round 4):
+    Mosaic cannot shape-cast bf16 vectors, so every projection must be
+    indexed/broadcast in fp32 and cast after, and those full-width casts
+    cost more than the bf16 elementwise saves. Kept for re-evaluation on
+    future Mosaic versions; default off.
     Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
     bf16 = compute_dtype == jnp.bfloat16
     if resident_bf16 is None:
-        resident_bf16 = bf16
+        resident_bf16 = False
     inputs = prepare_projections_batched(
         dec_params, feats, coords, n_blocks,
         proj_dtype=(jnp.bfloat16 if bf16 else jnp.float32),
