@@ -68,7 +68,8 @@ def main(args):
           f"{corpus_np['grasp_label'].shape[1]} grasps/scene, "
           f"positive fraction {corpus_np['grasp_label'].mean():.3f}", flush=True)
 
-    net, cfg = get_network("giga")
+    net, cfg = get_network(args.net)
+    is_geo = getattr(cfg, "tsdf_only", False)
     import optax
 
     lr = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
@@ -152,8 +153,29 @@ def main(args):
             print(f"step {it}: loss {loss:.4f} "
                   f"({(time.time() - t0) / it * 1e3:.0f} ms/step avg)", flush=True)
         if eval_step is not None and (it % args.eval_every == 0 or it == args.steps):
-            run_val(state.params, it)
-        if it % args.eval_every == 0 or it == args.steps:
+            summary = run_val(state.params, it)
+            if is_geo:
+                # GIGA-Geo selection: best held-out occ accuracy (the
+                # reference's train_giga_geo best-checkpoint criterion)
+                cands = [("", state.params)]
+                if ema is not None:
+                    cands.append(("ema ", ema))
+                for tag, params in cands:
+                    acc = summary["accuracy"] if tag == "" else None
+                    if acc is None:
+                        accum = [
+                            {k: float(v) for k, v in jax.device_get(
+                                eval_step(params, assemble(corpus, sel))).items()}
+                            for sel in val_batches
+                        ]
+                        acc = summarize_metrics(accum)["accuracy"]
+                    if acc > best[0]:
+                        best = (acc, jax.device_get(params), tag)
+                        if args.out:
+                            save_params(best[1], args.out)
+                        print(f"step {it}: {tag}val occ accuracy {acc:.4f} *best*",
+                              flush=True)
+        if not is_geo and (it % args.eval_every == 0 or it == args.steps):
             # multi-seed selection: the 12-scene single-seed protocol was
             # noisy enough to pick checkpoints that lose 20 GSR points on a
             # wide eval (round-3 finding) — average over independent seeds
@@ -175,8 +197,10 @@ def main(args):
                 print(f"step {it}: {tag}oracle GSR {gsr:.1f}% [{detail}] "
                       f"(top-5 x {args.eval_scenes} scenes x {len(seeds)} "
                       f"seeds){mark}", flush=True)
+    score = (f"val occ accuracy {best[0]:.4f}" if is_geo
+             else f"GSR {best[0]:.1f}%")
     print(f"trained {args.steps} steps in {(time.time() - t0) / 60:.1f} min; "
-          f"best in-training GSR {best[0]:.1f}% {best[2]}")
+          f"best in-training {score} {best[2]}")
     if args.out and best[1] is not None:
         save_params(best[1], args.out)
         print(f"saved best params to {args.out}")
@@ -185,6 +209,9 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
+    p.add_argument("--net", type=str, default="giga",
+                   help="giga (grasp+occ) or giga_geo (occupancy-only; "
+                        "selection by held-out occ accuracy)")
     p.add_argument("--corpus", type=str, default="data/corpus")
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--batch", type=int, default=32)
