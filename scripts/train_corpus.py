@@ -139,6 +139,7 @@ def main(args):
 
     t0 = time.time()
     best = (-1.0, None, "")  # (gsr, params, tag)
+    pool = []  # all scored eval-point candidates (gsr, params_host, tag)
     for it in range(1, args.steps + 1):
         sel = {k: jnp.asarray(v) for k, v in sampler().items()}
         state, terms = step(state, corpus, sel)
@@ -187,6 +188,7 @@ def main(args):
                 per_seed = [oracle_eval(params, args.eval_scenes, s)
                             for s in seeds]
                 gsr = float(np.mean(per_seed))
+                pool.append((gsr, params, f"{tag}step-{it}"))
                 mark = ""
                 if gsr > best[0]:
                     best = (gsr, params, tag)
@@ -197,6 +199,31 @@ def main(args):
                 print(f"step {it}: {tag}oracle GSR {gsr:.1f}% [{detail}] "
                       f"(top-5 x {args.eval_scenes} scenes x {len(seeds)} "
                       f"seeds){mark}", flush=True)
+
+    if not is_geo and args.soup_k > 1 and len(pool) > 1:
+        # Greedy checkpoint soup along the trajectory: the oracle-GSR
+        # trajectory oscillates 30+ points between adjacent evals (round-4
+        # finding) while val accuracy is flat, so an average over several
+        # good checkpoints is a flatter, often-better candidate than any
+        # single step (see giga_tpu/train/soup.py).
+        from giga_tpu.train.soup import greedy_soup
+
+        seeds = [args.eval_seed + 97 * k for k in range(args.eval_reps)]
+
+        def score(params):
+            return float(np.mean(
+                [oracle_eval(params, args.eval_scenes, s) for s in seeds]))
+
+        soup_gsr, soup, members = greedy_soup(
+            pool, score, k=args.soup_k,
+            verbose=lambda m: print(m, flush=True))
+        n_in = len(members)
+        if n_in > 1 and soup_gsr >= best[0]:
+            best = (soup_gsr, soup, f"soup[{','.join(members)}]")
+            if args.out:
+                save_params(soup, args.out)
+            print(f"soup of {n_in} checkpoints selected: {soup_gsr:.1f}% "
+                  f"[{', '.join(members)}]", flush=True)
     score = (f"val occ accuracy {best[0]:.4f}" if is_geo
              else f"GSR {best[0]:.1f}%")
     print(f"trained {args.steps} steps in {(time.time() - t0) / 60:.1f} min; "
@@ -228,6 +255,9 @@ if __name__ == "__main__":
                    help="independent eval seeds averaged for selection")
     p.add_argument("--ema", type=float, default=0.999,
                    help="params EMA decay; 0 disables")
+    p.add_argument("--soup-k", type=int, default=4,
+                   help="greedy-soup pool size over eval-point checkpoints "
+                        "(giga only; <=1 disables)")
     p.add_argument("--val-frac", type=float, default=0.05,
                    help="held-out scene fraction for val loss/acc curves "
                         "(history written next to --out); 0 disables")
