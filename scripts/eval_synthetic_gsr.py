@@ -24,7 +24,14 @@ from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8,
                         precision="fp32"):
     net, cfg = get_network("giga")
-    params = load_params(params_path)
+    if isinstance(params_path, (list, tuple)) and len(params_path) == 1:
+        params_path = params_path[0]
+    if isinstance(params_path, (list, tuple)):
+        # K checkpoints -> inference-time ensemble (mean quality / aligned
+        # quaternion mean; see planner.build_ensemble_giga_planner_fn)
+        params = [load_params(p) for p in params_path]
+    else:
+        params = load_params(params_path)
     planner = GIGAPlanner(
         net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
         low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
@@ -53,7 +60,9 @@ def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("params", type=str)
+    parser.add_argument("params", type=str, nargs="+",
+                        help="checkpoint path(s); >1 evaluates the "
+                             "inference-time ensemble")
     parser.add_argument("--n-scenes", type=int, default=8)
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--seed", type=int, default=1000)
