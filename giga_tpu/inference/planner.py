@@ -139,24 +139,35 @@ def stack_params(params_list):
 
 def build_ensemble_giga_planner_fn(net, model_cfg: GIGAConfig,
                                    planner_cfg: PlannerConfig, size: float,
-                                   dtype=None):
+                                   dtype=None, combine: str = "mean"):
     """Ensemble-of-checkpoints planner: params carry a leading K axis.
 
     Runs encoder + dense affordance decode for each of the K independently
     trained members (one vmapped program — the members' matmuls batch on the
-    MXU), then combines BEFORE the shared fp32 postprocess:
+    MXU), then combines BEFORE the shared fp32 postprocess. Two combiners:
 
+    ``combine="mean"``:
       - quality: mean of the members' sigmoid probabilities;
       - rotation: quaternion mean with per-voxel sign alignment to member 0
         (q and -q are the same rotation; without alignment antipodal pairs
         cancel), renormalized;
       - width: mean.
 
+    ``combine="max"`` (union-of-peaks): independently trained members are
+    confident at DIFFERENT voxels, and the threshold-gated postprocess
+    (qual_th) passes a mean only where members agree — which measured 11
+    points BELOW the best member on the wide GSR protocol. Max keeps every
+    member's peaks: per voxel, quality = max over members and rotation/width
+    come from the argmax member (never blended, so each surviving voxel is a
+    grasp some member fully believes in).
+
     K-fold serving cost; combining probabilities across independent
     trajectories is the remaining quality lever after within-trajectory
     soups failed to transfer (BACKLOG round-4 status). The reference has no
     analog (detection_implicit.py loads exactly one network).
     """
+    if combine not in ("mean", "max"):
+        raise ValueError(f"unknown ensemble combine {combine!r}")
     import contextlib
 
     voxel_size = size / planner_cfg.resolution
@@ -182,13 +193,21 @@ def build_ensemble_giga_planner_fn(net, model_cfg: GIGAConfig,
             p, tsdf_c = _maybe_cast(params["params"], tsdf, dtype)
             quals, rots, widths = jax.vmap(
                 member_forward, in_axes=(0, None))(p, tsdf_c)
-            qual = quals.mean(axis=0)
-            sign = jnp.sign(jnp.sum(rots * rots[:1], axis=-1, keepdims=True))
-            sign = jnp.where(sign == 0, 1.0, sign)
-            rot = (rots * sign).mean(axis=0)
-            rot = rot / jnp.maximum(
-                jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
-            width = widths.mean(axis=0)
+            if combine == "mean":
+                qual = quals.mean(axis=0)
+                sign = jnp.sign(
+                    jnp.sum(rots * rots[:1], axis=-1, keepdims=True))
+                sign = jnp.where(sign == 0, 1.0, sign)
+                rot = (rots * sign).mean(axis=0)
+                rot = rot / jnp.maximum(
+                    jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+                width = widths.mean(axis=0)
+            else:  # max: per-voxel winner takes quality AND rot/width
+                qual = quals.max(axis=0)
+                best = jnp.argmax(quals, axis=0)
+                rot = jnp.take_along_axis(
+                    rots, best[None, ..., None], axis=0)[0]
+                width = jnp.take_along_axis(widths, best[None], axis=0)[0]
             raw = (qual, rot, width)
             qual = mask_quality(qual, tsdf_process, width, planner_cfg)
             qual = bound_quality(qual, voxel_size, planner_cfg)
@@ -464,6 +483,7 @@ class GIGAPlanner:
         rng: Optional[np.random.RandomState] = None,
         visualize: bool = False,
         precision: str = "fp32",  # 'fp32' | 'bf16' (bf16 trunk, fp32 postprocess)
+        ensemble_combine: str = "mean",  # 'mean' | 'max' (K-member path only)
     ):
         if net is None:
             net, model_cfg, params = load_network(model_path, model_type)
@@ -493,10 +513,13 @@ class GIGAPlanner:
         self.rng = rng if rng is not None else np.random
         self.visualize = visualize
         self._dtype = jnp.bfloat16 if precision == "bf16" else None
-        build = (build_ensemble_giga_planner_fn if self.ensemble
-                 else build_giga_planner_fn)
-        self._fn = build(net, model_cfg, self.planner_cfg, size,
-                         dtype=self._dtype)
+        if self.ensemble:
+            self._fn = build_ensemble_giga_planner_fn(
+                net, model_cfg, self.planner_cfg, size, dtype=self._dtype,
+                combine=ensemble_combine)
+        else:
+            self._fn = build_giga_planner_fn(
+                net, model_cfg, self.planner_cfg, size, dtype=self._dtype)
         self._vfn = None  # lazily-built batched variant (plan_batch)
 
     def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):

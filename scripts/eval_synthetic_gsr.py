@@ -22,7 +22,7 @@ from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 
 
 def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8,
-                        precision="fp32"):
+                        precision="fp32", ensemble_combine="mean"):
     net, cfg = get_network("giga")
     if isinstance(params_path, (list, tuple)) and len(params_path) == 1:
         params_path = params_path[0]
@@ -35,7 +35,7 @@ def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8
     planner = GIGAPlanner(
         net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
         low_th=0.1, qual_th=qual_th, rng=np.random.RandomState(0),
-        precision=precision,
+        precision=precision, ensemble_combine=ensemble_combine,
     )
     rng = np.random.RandomState(seed)
     labels_all, dists_all, counts = [], [], []
@@ -69,7 +69,12 @@ if __name__ == "__main__":
     parser.add_argument("--precision", choices=["fp32", "bf16"], default="fp32",
                         help="planner trunk precision (bf16 drift gate, "
                              "VERDICT r3 #8)")
+    parser.add_argument("--ensemble-combine", choices=["mean", "max"],
+                        default="mean",
+                        help="K-member combiner: mean (blend) or max "
+                             "(union-of-peaks; per-voxel winner's rot/width)")
     args = parser.parse_args()
     out = evaluate_checkpoint(args.params, args.n_scenes, args.top_k, args.seed,
-                              precision=args.precision)
+                              precision=args.precision,
+                              ensemble_combine=args.ensemble_combine)
     print(out)

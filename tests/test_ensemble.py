@@ -76,6 +76,43 @@ class TestEnsemblePlanner:
         # every combined quat is unit-norm
         np.testing.assert_allclose(np.linalg.norm(re, axis=-1), 1.0, atol=1e-5)
 
+    def test_max_combine_duplicated_member_matches_single(
+            self, two_checkpoints, scene_grid):
+        net, cfg, p0, _ = two_checkpoints
+        pcfg = PlannerConfig(force_detection=True, best=True)
+        single = build_giga_planner_fn(net, cfg, pcfg, 0.3)
+        ens = build_ensemble_giga_planner_fn(net, cfg, pcfg, 0.3,
+                                             combine="max")
+        g = jnp.asarray(scene_grid)
+        _, raw_s = jax.device_get(single(p0, g, g))
+        _, raw_e = jax.device_get(ens(stack_params([p0, p0]), g, g))
+        for a, b in zip(raw_s, raw_e):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_max_combine_is_per_voxel_winner(self, two_checkpoints, scene_grid):
+        net, cfg, p0, p1 = two_checkpoints
+        pcfg = PlannerConfig(force_detection=True, best=True)
+        single = build_giga_planner_fn(net, cfg, pcfg, 0.3)
+        ens = build_ensemble_giga_planner_fn(net, cfg, pcfg, 0.3,
+                                             combine="max")
+        g = jnp.asarray(scene_grid)
+        _, (q0, r0, w0) = jax.device_get(single(p0, g, g))
+        _, (q1, r1, w1) = jax.device_get(single(p1, g, g))
+        _, (qe, re, we) = jax.device_get(ens(stack_params([p0, p1]), g, g))
+        np.testing.assert_allclose(qe, np.maximum(q0, q1), atol=1e-6)
+        win1 = q1 > q0  # argmax member per voxel
+        np.testing.assert_allclose(we, np.where(win1, w1, w0), atol=1e-6)
+        # rot comes whole from the winning member — never blended
+        np.testing.assert_allclose(re, np.where(win1[..., None], r1, r0),
+                                   atol=1e-6)
+
+    def test_unknown_combine_raises(self, two_checkpoints):
+        net, cfg, _, _ = two_checkpoints
+        pcfg = PlannerConfig(force_detection=True, best=True)
+        with pytest.raises(ValueError, match="combine"):
+            build_ensemble_giga_planner_fn(net, cfg, pcfg, 0.3,
+                                           combine="median")
+
     def test_planner_wrapper_accepts_param_list(self, two_checkpoints, scene_grid):
         net, cfg, p0, p1 = two_checkpoints
         planner = GIGAPlanner(
