@@ -108,6 +108,20 @@ def giga_detach() -> GIGAConfig:
     return GIGAConfig(name="giga_detach", decoder_tsdf=True, detach_tsdf=True)
 
 
+def giga_wide() -> GIGAConfig:
+    """2x-width GIGA (c_dim/hidden 64, U-Net start 64): the model-scaling
+    axis. Expressible in the reference's config system (conv_onet/config.py
+    c_dim + decoder_kwargs.hidden_size) but not a shipped preset; trains and
+    plans through the generic XLA paths (the fused Pallas serving kernels
+    assume the 32-wide shipped geometry and are not wired for it)."""
+    return GIGAConfig(
+        name="giga_wide",
+        encoder=EncoderConfig(c_dim=64, unet=UNet2DConfig(start_filts=64)),
+        decoder=DecoderConfig(c_dim=64, hidden_size=64),
+        decoder_tsdf=True,
+    )
+
+
 def giga_grid() -> GIGAConfig:
     """3D-feature-grid variant (reference voxels.py:74-86 + unet3d.py:477;
     expressible in the reference's config system but not a shipped preset)."""
@@ -131,6 +145,7 @@ PRESETS = {
     "giga_geo": giga_geo,
     "giga_detach": giga_detach,
     "giga_grid": giga_grid,
+    "giga_wide": giga_wide,
     "vgn": vgn,
 }
 

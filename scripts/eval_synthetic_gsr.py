@@ -22,8 +22,8 @@ from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 
 
 def evaluate_checkpoint(params_path, n_scenes=8, top_k=5, seed=1000, qual_th=0.8,
-                        precision="fp32", ensemble_combine="mean"):
-    net, cfg = get_network("giga")
+                        precision="fp32", ensemble_combine="mean", net="giga"):
+    net, cfg = get_network(net)
     if isinstance(params_path, (list, tuple)) and len(params_path) == 1:
         params_path = params_path[0]
     if isinstance(params_path, (list, tuple)):
@@ -73,8 +73,11 @@ if __name__ == "__main__":
                         default="mean",
                         help="K-member combiner: mean (blend) or max "
                              "(union-of-peaks; per-voxel winner's rot/width)")
+    parser.add_argument("--net", type=str, default="giga",
+                        help="model preset the checkpoint was trained with")
     args = parser.parse_args()
     out = evaluate_checkpoint(args.params, args.n_scenes, args.top_k, args.seed,
                               precision=args.precision,
-                              ensemble_combine=args.ensemble_combine)
+                              ensemble_combine=args.ensemble_combine,
+                              net=args.net)
     print(out)

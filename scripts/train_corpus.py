@@ -36,13 +36,13 @@ from giga_tpu.train.corpus import (
 from giga_tpu.train.trainer import create_train_state, make_train_step
 
 
-def oracle_eval(params, n_scenes, seed, top_k=5, qual_th=0.8):
+def oracle_eval(params, n_scenes, seed, top_k=5, qual_th=0.8, net_name="giga"):
     """Fresh-scene GSR via the geometric oracle (eval_synthetic_gsr protocol)."""
     from giga_tpu.inference.planner import GIGAPlanner, State
     from giga_tpu.utils.synthetic import mesh_to_tsdf, random_scene
     from giga_tpu.utils.synthetic_grasps import evaluate_grasp
 
-    net, cfg = get_network("giga")
+    net, cfg = get_network(net_name)
     # GIGAPlanner device_puts the host snapshot once (no re-upload per call)
     planner = GIGAPlanner(
         net=net, model_cfg=cfg, params=params, best=True, force_detection=True,
@@ -185,7 +185,8 @@ def main(args):
             if ema is not None:
                 cands.append(("ema ", jax.device_get(ema)))
             for tag, params in cands:
-                per_seed = [oracle_eval(params, args.eval_scenes, s)
+                per_seed = [oracle_eval(params, args.eval_scenes, s,
+                                        net_name=args.net)
                             for s in seeds]
                 gsr = float(np.mean(per_seed))
                 pool.append((gsr, params, f"{tag}step-{it}"))
@@ -212,7 +213,8 @@ def main(args):
 
         def score(params):
             return float(np.mean(
-                [oracle_eval(params, args.eval_scenes, s) for s in seeds]))
+                [oracle_eval(params, args.eval_scenes, s, net_name=args.net)
+                 for s in seeds]))
 
         soup_gsr, soup, members = greedy_soup(
             pool, score, k=args.soup_k,
