@@ -26,26 +26,42 @@ def gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return (phi / phi.sum()).astype(np.float32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _blur_matrix_1d(n: int, sigma: float, truncate: float) -> np.ndarray:
+    """(n, n) linear operator of a 1D Gaussian blur with edge-replicate
+    boundaries: out[i] = sum_j T[i, j] v[j]. Clamped taps accumulate onto
+    the border columns, so the matrix form is EXACTLY the correlate-with-
+    edge-padding it replaces."""
+    k = gaussian_kernel_1d(sigma, truncate)
+    r = (len(k) - 1) // 2
+    T = np.zeros((n, n), np.float32)
+    rows = np.arange(n)
+    for t, w in enumerate(k):
+        np.add.at(T, (rows, np.clip(rows + t - r, 0, n - 1)), w)
+    return T
+
+
 def gaussian_blur_3d(vol: jnp.ndarray, sigma: float = 1.0, truncate: float = 4.0) -> jnp.ndarray:
     """Separable Gaussian blur with edge-replicate ('nearest') boundaries.
 
     Matches ndimage.gaussian_filter(vol, sigma, mode='nearest') to fp32
     accuracy over the LAST THREE axes; leading axes (batch) pass through.
+
+    Each axis blur is a dense (n, n) matmul rather than a 2r+1-tap
+    correlation: the taps-as-conv form costs ~27 VPU passes over the volume
+    (1.5 ms of the B=64 batched postprocess, round-4 roofline) while the
+    matmul form rides the MXU. Pinned HIGHEST so fp32 results stay within
+    the scipy-parity tolerance regardless of ambient precision.
     """
-    k = jnp.asarray(gaussian_kernel_1d(sigma, truncate))
-    r = (k.shape[0] - 1) // 2
-
-    def blur_axis(v, axis):
-        v = jnp.moveaxis(v, axis, -1)
-        shape = v.shape
-        padded = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(r, r)], mode="edge")
-        flat = padded.reshape(-1, padded.shape[-1])
-        # correlate each row with the kernel: output length == original
-        out = jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(flat)
-        return jnp.moveaxis(out.reshape(shape), -1, axis)
-
     for axis in range(vol.ndim - 3, vol.ndim):
-        vol = blur_axis(vol, axis)
+        T = jnp.asarray(_blur_matrix_1d(vol.shape[axis], float(sigma), float(truncate)))
+        v = jnp.moveaxis(vol, axis, -1)
+        out = jnp.tensordot(v, T, axes=[[-1], [1]],
+                            precision=jax.lax.Precision.HIGHEST)
+        vol = jnp.moveaxis(out, -1, axis)
     return vol
 
 

@@ -161,7 +161,8 @@ def fused_dense_decode(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1, wout, bout,
 def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
                           w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
                           out_ref, *, n_blocks: int, compute_dtype,
-                          resident_bf16: bool = False):
+                          resident_bf16: bool = False,
+                          fold_b1: bool = False, hidden_bf16: bool = False):
     """Per-(scene, x-slab-group) program; same math as _trunk_kernel with a
     scene axis on the projection refs. Each program handles SX consecutive
     x slabs — fewer grid steps and 4x-larger matmul M amortize the per-step
@@ -173,11 +174,25 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
     B=64 batch, and bf16 elementwise packs 2/lane on the VPU. Numerically
     this matches the XLA bf16 path (whose einsums also produce bf16
     residuals), slightly better (fp32 matmul accumulation before each cast).
+
+    Two VPU-pass eliminations (round 4; the decode is VPU-assembly-bound,
+    DESIGN.md §9):
+    - ``fold_b1``: prepare_projections_batched folded each block's fc_1 bias
+      into the NEXT block's pxz projection, so the kernel skips the dx bias
+      add for every block but the last — n_blocks-1 fewer full-width fp32
+      passes. Exact up to fp32 add reassociation.
+    - ``hidden_bf16`` (bf16 compute only): the first MXU dot emits bf16
+      directly, so the hidden-path bias add and relu run at bf16 width
+      (2 elems/lane) and the pre-dot cast disappears. The hidden stream is
+      bf16 — same class of rounding as the XLA bf16 path; the residual
+      stream stays fp32. relu∘cast == cast∘relu (rounding preserves sign),
+      and the second dot still accumulates fp32.
     """
     R, F = py_ref.shape
     SX = px_ref.shape[0]
     out_dim = out_ref.shape[-1]
     res_t = jnp.bfloat16 if resident_bf16 else jnp.float32
+    bf16_mm = compute_dtype == jnp.bfloat16
 
     net = (
         px_ref[:, 0][:, None, None, :]
@@ -199,8 +214,21 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
             + pyz_ref[0, b].astype(jnp.float32)[None, :, :, :].astype(res_t)
         )
         flat = net.reshape(SX * R * R, F)
-        hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
-        dx = _mm(jax.nn.relu(hidden), w1_ref[b], compute_dtype) + b1_ref[b][None, :]
+        if hidden_bf16 and bf16_mm:
+            a = jax.nn.relu(flat.astype(jnp.bfloat16))
+            hidden = jnp.dot(
+                a, w0_ref[b].astype(jnp.bfloat16),
+                preferred_element_type=jnp.bfloat16,
+            ) + b0_ref[b].astype(jnp.bfloat16)[None, :]
+            dx = jnp.dot(
+                jax.nn.relu(hidden), w1_ref[b].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            hidden = _mm(jax.nn.relu(flat), w0_ref[b], compute_dtype) + b0_ref[b][None, :]
+            dx = _mm(jax.nn.relu(hidden), w1_ref[b], compute_dtype)
+        if not fold_b1 or b == n_blocks - 1:
+            dx = dx + b1_ref[b][None, :]
         net = (flat + dx.astype(res_t)).reshape(SX, R, R, F)
     flat = net.reshape(SX * R * R, F)
     out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
@@ -209,12 +237,13 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret", "x_slabs",
-                              "resident_bf16")
+                              "resident_bf16", "fold_b1", "hidden_bf16")
 )
 def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
                                wout, bout, *, n_blocks: int = 5,
                                compute_dtype=jnp.float32, interpret: bool = False,
-                               x_slabs: int = 8, resident_bf16: bool = False):
+                               x_slabs: int = 8, resident_bf16: bool = False,
+                               fold_b1: bool = False, hidden_bf16: bool = False):
     """Batched fused trunk: grid (B, Rx/x_slabs); the per-scene yz
     projection stays VMEM-resident across the inner x sweep (index_map
     depends only on b).
@@ -230,7 +259,7 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
     SX = next(s for s in range(min(x_slabs, R), 0, -1) if R % s == 0)
     kernel = functools.partial(
         _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype,
-        resident_bf16=resident_bf16,
+        resident_bf16=resident_bf16, fold_b1=fold_b1, hidden_bf16=hidden_bf16,
     )
 
     px3 = px[:, None, :]                  # (Rx, 1, F)
@@ -602,7 +631,7 @@ def prepare_projections(dec_params: dict, feats: dict, coords, n_blocks: int = 5
 
 
 def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks: int = 5,
-                                proj_dtype=jnp.float32):
+                                proj_dtype=jnp.float32, fold_b1: bool = False):
     """Batched projection precompute: feats {t: (B, R, R, C)} ->
     px/py/pz (R, F) + pxz/pxy/pyz (B, n_blocks, R, R, F) + fused weights.
 
@@ -610,7 +639,11 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
     in bf16: at B=64 they are ~4.5 GB of round-trip HBM traffic and the
     measured bottleneck of the batched decode (12.9 of 25.8 ms/batch,
     round-3 roofline) — halving their bytes buys ~6 ms/batch, while the
-    kernel still accumulates fp32."""
+    kernel still accumulates fp32.
+
+    ``fold_b1`` additionally folds block b's fc_1 bias into block b+1's pxz
+    (the kernel then skips the dx bias add for b < n_blocks-1 — one fewer
+    full-width VPU pass per folded block; the decode is VPU-bound)."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
     px, py, pz = _prepare_axis_terms(pk, coords)
 
@@ -618,9 +651,12 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
     pxz, pxy, pyz = [], [], []
     for i in range(n_blocks):
         w_c = pk[f"fc_c{i}_kernel"]
+        bias = pk[f"fc_c{i}_bias"]
+        if fold_b1 and i > 0:
+            bias = bias + pk[f"block{i - 1}_fc1_bias"]
         pxz.append(
             jnp.einsum("qabc,ch->qabh", feats["xz"], w_c[:c_dim], precision=HI)
-            + pk[f"fc_c{i}_bias"]
+            + bias
         )
         pxy.append(
             jnp.einsum("qabc,ch->qabh", feats["xy"], w_c[c_dim : 2 * c_dim], precision=HI)
@@ -669,7 +705,9 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
                                            n_blocks: int = 5,
                                            compute_dtype=jnp.float32,
                                            interpret: bool = False,
-                                           resident_bf16: bool | None = None):
+                                           resident_bf16: bool | None = None,
+                                           fold_b1: bool = False,
+                                           hidden_bf16: bool = False):
     """Batched drop-in for decode_affordance_dense_batched via the fused kernel.
 
     ``resident_bf16`` keeps the residual stream bf16 inside the kernel —
@@ -678,6 +716,10 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
     indexed/broadcast in fp32 and cast after, and those full-width casts
     cost more than the bf16 elementwise saves. Kept for re-evaluation on
     future Mosaic versions; default off.
+
+    ``fold_b1`` / ``hidden_bf16`` are VPU-pass eliminations (see
+    _trunk_kernel_batched); fold_b1 is exact up to fp32 reassociation,
+    hidden_bf16 applies only in bf16 compute mode.
     Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
     bf16 = compute_dtype == jnp.bfloat16
     if resident_bf16 is None:
@@ -685,9 +727,11 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
     inputs = prepare_projections_batched(
         dec_params, feats, coords, n_blocks,
         proj_dtype=(jnp.bfloat16 if bf16 else jnp.float32),
+        fold_b1=fold_b1,
     )
     out = fused_dense_decode_batched(
         *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype,
         interpret=interpret, resident_bf16=bool(resident_bf16 and bf16),
+        fold_b1=fold_b1, hidden_bf16=bool(hidden_bf16 and bf16),
     )
     return _split_heads(out, dec_params)

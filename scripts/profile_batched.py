@@ -42,6 +42,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--fold-b1", action="store_true")
+    ap.add_argument("--hidden-bf16", action="store_true")
     ap.add_argument("--resolution", type=int, default=40)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-hi", type=int, default=9)
@@ -130,6 +132,7 @@ def main() -> None:
                     p["decoder_aff"], feats, coords, cfg.decoder.n_blocks,
                     compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
                                    else jnp.float32),
+                    fold_b1=args.fold_b1, hidden_bf16=args.hidden_bf16,
                 )
             else:
                 q, r, w = decode_affordance_dense_batched(
@@ -138,7 +141,8 @@ def main() -> None:
             return q.astype(jnp.float32)
 
     full_fn = build_batched_giga_planner_fn(
-        net, cfg, pcfg, 0.3, dtype=dtype, use_pallas=args.pallas
+        net, cfg, pcfg, 0.3, dtype=dtype, use_pallas=args.pallas,
+        pallas_fold_b1=args.fold_b1, pallas_hidden_bf16=args.hidden_bf16,
     )
 
     def full(params, tsdfs):

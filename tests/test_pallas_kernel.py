@@ -150,3 +150,66 @@ def test_hybrid_kernel_matches_xla_path():
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_batched_kernel_fold_b1_matches_xla_path():
+    """fold_b1 moves each block's fc_1 bias into the next block's pxz
+    projection (one fewer VPU pass per block) — exact up to fp32
+    reassociation."""
+    from giga_tpu.inference.dense_decode import (
+        decode_affordance_dense_batched,
+        sample_planes_on_lattice_batched,
+    )
+    from giga_tpu.ops.pallas.decoder_kernel import (
+        decode_affordance_dense_pallas_batched,
+    )
+
+    net, cfg = get_network("giga")
+    tsdf = jnp.zeros((1, 40, 40, 40))
+    p = jnp.zeros((1, 4, 3))
+    params = net.init(jax.random.PRNGKey(4), tsdf, p, p)
+    rng = np.random.RandomState(4)
+    grids = jnp.asarray(rng.rand(2, 40, 40, 40).astype(np.float32))
+    planes = net.apply(params, grids, method="encode")
+    coords = lattice_coords(40)
+    feats = sample_planes_on_lattice_batched(planes, coords, 40, 0.0)
+    dp = params["params"]["decoder_aff"]
+
+    q1, r1, w1 = decode_affordance_dense_batched(dp, feats, coords)
+    q2, r2, w2 = decode_affordance_dense_pallas_batched(
+        dp, feats, coords, interpret=True, fold_b1=True
+    )
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_batched_kernel_vpu_opts_bf16_close_to_fp32():
+    """fold_b1 + hidden_bf16 under bf16 compute stays within bf16 rounding
+    of the fp32 XLA path (same gate as the plain bf16 kernel)."""
+    from giga_tpu.inference.dense_decode import (
+        decode_affordance_dense_batched,
+        sample_planes_on_lattice_batched,
+    )
+    from giga_tpu.ops.pallas.decoder_kernel import (
+        decode_affordance_dense_pallas_batched,
+    )
+
+    net, cfg = get_network("giga")
+    tsdf = jnp.zeros((1, 40, 40, 40))
+    p = jnp.zeros((1, 4, 3))
+    params = net.init(jax.random.PRNGKey(2), tsdf, p, p)
+    rng = np.random.RandomState(3)
+    grids = jnp.asarray(rng.rand(2, 40, 40, 40).astype(np.float32))
+    planes = net.apply(params, grids, method="encode")
+    coords = lattice_coords(40)
+    feats = sample_planes_on_lattice_batched(planes, coords, 40, 0.0)
+    dp = params["params"]["decoder_aff"]
+
+    q1, r1, w1 = decode_affordance_dense_batched(dp, feats, coords)
+    q2, r2, w2 = decode_affordance_dense_pallas_batched(
+        dp, feats, coords, compute_dtype=jnp.bfloat16, interpret=True,
+        fold_b1=True, hidden_bf16=True,
+    )
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-2)
+    assert np.median(np.abs(np.asarray(q1) - np.asarray(q2))) < 3e-3
