@@ -101,11 +101,18 @@ def max_filter_3d(vol: jnp.ndarray, size: int) -> jnp.ndarray:
     lo = size // 2
     hi = size - lo - 1
     lead = vol.ndim - 3
-    return jax.lax.reduce_window(
-        vol,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1,) * lead + (size,) * 3,
-        window_strides=(1,) * vol.ndim,
-        padding=[(0, 0)] * lead + [(lo, hi)] * 3,
-    )
+    # max over a box is separable: three 1D window maxes (3*size compares
+    # per voxel) instead of one dense size^3 window (size^3 compares) —
+    # the NMS max-filter is part of the VPU-bound postprocess stage
+    for axis in range(lead, vol.ndim):
+        window = [1] * vol.ndim
+        window[axis] = size
+        padding = [(0, 0)] * vol.ndim
+        padding[axis] = (lo, hi)
+        vol = jax.lax.reduce_window(
+            vol, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(window),
+            window_strides=(1,) * vol.ndim,
+            padding=padding,
+        )
+    return vol
