@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--resolution", type=int, default=40)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-hi", type=int, default=9)
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated stage-name filter (substring match)")
     args = ap.parse_args()
 
     import jax
@@ -154,6 +156,9 @@ def main() -> None:
         ("+decode", stage_decode),
         ("full (post)", full),
     ]
+    if args.stages:
+        keys = [k.strip() for k in args.stages.split(",")]
+        stages = [(n, f) for n, f in stages if any(k in n for k in keys)]
 
     floor = dispatch_floor(repeats=args.repeats)
     print(f"backend={jax.default_backend()} B={B} dtype={args.dtype} "
