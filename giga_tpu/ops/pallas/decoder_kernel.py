@@ -181,16 +181,27 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
       into the NEXT block's pxz projection, so the kernel skips the dx bias
       add for every block but the last — n_blocks-1 fewer full-width fp32
       passes. Exact up to fp32 add reassociation.
-    - ``hidden_bf16`` (bf16 compute only): the first MXU dot emits bf16
-      directly, so the hidden-path bias add and relu run at bf16 width
-      (2 elems/lane) and the pre-dot cast disappears. The hidden stream is
-      bf16 — same class of rounding as the XLA bf16 path; the residual
-      stream stays fp32. relu∘cast == cast∘relu (rounding preserves sign),
-      and the second dot still accumulates fp32.
+    - ``hidden_bf16`` (bf16 compute only): the hidden stream is cast to
+      bf16 right after the first dot's fp32-accumulated bias add (Mosaic
+      requires 32-bit matmul accumulators, so the dot itself cannot emit
+      bf16), so the hidden relu runs at bf16 width (2 elems/lane) and the
+      pre-dot cast inside _mm disappears. Same class of rounding as the
+      XLA bf16 path; the residual stream stays fp32. relu∘cast ==
+      cast∘relu (rounding preserves sign), and the second dot still
+      accumulates fp32.
+
+    The head output is written TRANSPOSED — (O, rows) with the flattened
+    lattice rows on the lane dim — via a dot_general that contracts the
+    activations' feature dim against a pre-transposed (O, F) head weight.
+    Writing (rows, O) would put O=12 on the lane dim, and the TPU pads the
+    minor dim to 128 lanes: the (B, R^3, O) HBM buffer is then 2.1 GB
+    physical for 98 MB of payload at B=64 — measured as ~5-7 ms/batch of
+    pure padding traffic across the kernel write and every postprocess
+    read (round-4 roofline; XLA cost model showed 9 GB accessed in the
+    "+postprocess" stage).
     """
     R, F = py_ref.shape
     SX = px_ref.shape[0]
-    out_dim = out_ref.shape[-1]
     res_t = jnp.bfloat16 if resident_bf16 else jnp.float32
     bf16_mm = compute_dtype == jnp.bfloat16
 
