@@ -242,6 +242,7 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
             dx = dx + b1_ref[b][None, :]
         net = (flat + dx.astype(res_t)).reshape(SX, R, R, F)
     flat = net.reshape(SX * R * R, F)
+    out_dim = out_ref.shape[-1]
     out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
     out_ref[0] = out.reshape(SX, R, R, out_dim)
 
