@@ -80,13 +80,27 @@ class Collector(dict):
         self.update(kv)
         print(json.dumps(_clean(self)), flush=True)
 
+    def fail(self, label, msg):
+        """Record a stage failure LOUDLY in the JSON (VERDICT r4 #5): a null
+        metric must be distinguishable from 'budget ran out / not measured'."""
+        errs = dict(self.get("errors") or {})
+        errs[label] = msg
+        self.put(errors=errs)
+
+
+_ACTIVE_COLLECTOR = None
+
 
 def guarded(label, fn, default=float("nan")):
-    """Secondary metrics must never kill the primary JSON line."""
+    """Secondary metrics must never kill the primary JSON line — but a code
+    failure in a shipped path must surface in the final JSON's ``errors``
+    field, not silently become a null metric."""
     try:
         return fn()
     except Exception as e:  # noqa: BLE001
         log(f"{label} failed: {type(e).__name__}: {e}")
+        if _ACTIVE_COLLECTOR is not None:
+            _ACTIVE_COLLECTOR.fail(label, f"{type(e).__name__}: {e}")
         return default
 
 
@@ -511,7 +525,9 @@ def main():
 
             jax.config.update("jax_compilation_cache_dir",
                               os.environ["JAX_COMPILATION_CACHE_DIR"])
+        global _ACTIVE_COLLECTOR
         out = Collector()
+        _ACTIVE_COLLECTOR = out
         SECTION_FNS[section](out)
         print(json.dumps(_clean(out)))
         return
@@ -520,6 +536,7 @@ def main():
     # tunnel session (see module docstring)
     deadline = time.time() + GLOBAL_BUDGET_S - FINAL_RESERVE_S
     merged = {}
+    errors = {}  # {stage: message} — code failures, NOT budget skips
     for name in SECTIONS:
         remaining = deadline - time.time()
         if remaining < 45:
@@ -527,12 +544,16 @@ def main():
                 f" {remaining:.0f}s left)")
             continue
         cap = SECTION_TIMEOUT_S.get(name, DEFAULT_SECTION_TIMEOUT_S)
-        merged.update(run_section_subprocess(name, min(cap, remaining)))
+        part = run_section_subprocess(name, min(cap, remaining))
+        errors.update(part.pop("errors", None) or {})
+        merged.update(part)
+        merged["errors"] = errors
         try:  # crash-safe rolling record for the driver/judge
             with open(PARTIAL_PATH, "w") as f:
                 json.dump(_clean(merged), f)
         except OSError:
             pass
+    merged["errors"] = errors
 
     single_ms = merged.get("single_scene_ms")
     sps = 1e3 / single_ms if single_ms else float("nan")

@@ -222,7 +222,8 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                                   size: float, dtype=None, use_pallas: bool = False,
                                   mesh=None, axis: str = "dp", sp_axis: str | None = None,
                                   pallas_fold_b1: bool = False,
-                                  pallas_hidden_bf16: bool = False):
+                                  pallas_hidden_bf16: bool = False,
+                                  pallas_transposed: bool = False):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
@@ -311,6 +312,7 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                     p["decoder_aff"], feats, coords, n_blocks,
                     compute_dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32,
                     fold_b1=pallas_fold_b1, hidden_bf16=pallas_hidden_bf16,
+                    transposed=pallas_transposed,
                 )
             else:
                 qual, rot, width = decode_affordance_dense_batched(

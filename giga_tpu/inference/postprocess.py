@@ -129,6 +129,11 @@ def select_grasps(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandi
 def select_grasps_batched(qual, rot, width, positions, cfg: PlannerConfig) -> GraspCandidates:
     """Batched threshold + NMS + top-K: one program for (B, R, R, R) scenes.
 
+    ``rot`` may arrive either as (B, R, R, R, 4) or TRANSPOSED as
+    (B, 4, R^3) — the layout the Pallas fused decoder writes to avoid
+    128-lane padding on the 4-wide quaternion axis; the top-k gather reads
+    columns directly and only the tiny (B, k, 4) result is re-laid out.
+
     Returns GraspCandidates with a leading batch axis on every field.
     Semantics per scene match ``select_grasps``.
     """
@@ -156,6 +161,11 @@ def select_grasps_batched(qual, rot, width, positions, cfg: PlannerConfig) -> Gr
 
     pos_flat = positions.reshape(-1, 3)  # shared lattice
     top_pos = pos_flat[top_idx]
-    top_rot = jnp.take_along_axis(rot.reshape(B, -1, 4), top_idx[..., None], axis=1)
+    if rot.ndim == 3:  # transposed (B, 4, R^3) layout
+        top_rot = jnp.take_along_axis(
+            rot, top_idx[:, None, :], axis=2
+        ).transpose(0, 2, 1)
+    else:
+        top_rot = jnp.take_along_axis(rot.reshape(B, -1, 4), top_idx[..., None], axis=1)
     top_width = jnp.take_along_axis(width.reshape(B, -1), top_idx, axis=1)
     return GraspCandidates(top_scores, top_pos, top_rot, top_width, count)

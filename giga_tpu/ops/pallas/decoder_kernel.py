@@ -162,7 +162,8 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
                           w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref,
                           out_ref, *, n_blocks: int, compute_dtype,
                           resident_bf16: bool = False,
-                          fold_b1: bool = False, hidden_bf16: bool = False):
+                          fold_b1: bool = False, hidden_bf16: bool = False,
+                          transposed: bool = False):
     """Per-(scene, x-slab-group) program; same math as _trunk_kernel with a
     scene axis on the projection refs. Each program handles SX consecutive
     x slabs — fewer grid steps and 4x-larger matmul M amortize the per-step
@@ -190,15 +191,15 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
       cast∘relu (rounding preserves sign), and the second dot still
       accumulates fp32.
 
-    The head output is written TRANSPOSED — (O, rows) with the flattened
+    With ``transposed`` the head output is written (O, rows) — the flattened
     lattice rows on the lane dim — via a dot_general that contracts the
-    activations' feature dim against a pre-transposed (O, F) head weight.
-    Writing (rows, O) would put O=12 on the lane dim, and the TPU pads the
-    minor dim to 128 lanes: the (B, R^3, O) HBM buffer is then 2.1 GB
-    physical for 98 MB of payload at B=64 — measured as ~5-7 ms/batch of
-    pure padding traffic across the kernel write and every postprocess
-    read (round-4 roofline; XLA cost model showed 9 GB accessed in the
-    "+postprocess" stage).
+    activations' feature dim against a pre-transposed (O, F) head weight
+    (wout_ref arrives (O, F) and bout_ref (O, 1) in this mode). Writing
+    (rows, O) puts O=12 on the lane dim, and the TPU pads the minor dim to
+    128 lanes: the (B, R^3, O) HBM buffer is then 2.1 GB physical for 98 MB
+    of payload at B=64 — measured as ~5-7 ms/batch of pure padding traffic
+    across the kernel write and every postprocess read (round-4 roofline;
+    XLA cost model showed 9 GB accessed in the "+postprocess" stage).
     """
     R, F = py_ref.shape
     SX = px_ref.shape[0]
@@ -226,11 +227,16 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
         )
         flat = net.reshape(SX * R * R, F)
         if hidden_bf16 and bf16_mm:
+            # fp32-accumulated dot + fp32 bias add, THEN cast (Mosaic's MXU
+            # accumulates 32-bit; asking the dot itself to emit bf16 is not
+            # portable) — the relu then runs at bf16 width (2 elems/lane)
+            # and the second dot's pre-cast disappears. relu∘cast ==
+            # cast∘relu (rounding preserves sign).
             a = jax.nn.relu(flat.astype(jnp.bfloat16))
-            hidden = jnp.dot(
+            hidden = (jnp.dot(
                 a, w0_ref[b].astype(jnp.bfloat16),
-                preferred_element_type=jnp.bfloat16,
-            ) + b0_ref[b].astype(jnp.bfloat16)[None, :]
+                preferred_element_type=jnp.float32,
+            ) + b0_ref[b][None, :]).astype(jnp.bfloat16)
             dx = jnp.dot(
                 jax.nn.relu(hidden), w1_ref[b].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -242,27 +248,50 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
             dx = dx + b1_ref[b][None, :]
         net = (flat + dx.astype(res_t)).reshape(SX, R, R, F)
     flat = net.reshape(SX * R * R, F)
-    out_dim = out_ref.shape[-1]
-    out = _mm(jax.nn.relu(flat), wout_ref[...], compute_dtype) + bout_ref[0][None, :]
-    out_ref[0] = out.reshape(SX, R, R, out_dim)
+    a = jax.nn.relu(flat)
+    if transposed:
+        # (O, rows) write: contract F of the (O, F) pre-transposed weight
+        # against F of the (rows, F) activations — the MXU absorbs the
+        # operand transpose, so rows land on the lane dim with no VPU pass
+        if compute_dtype == jnp.bfloat16:
+            out = jax.lax.dot_general(
+                wout_ref[...].astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = jax.lax.dot_general(
+                wout_ref[...], a,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )
+        out_ref[0] = out + bout_ref[...]  # (O, rows) + (O, 1)
+    else:
+        out_dim = out_ref.shape[-1]
+        out = _mm(a, wout_ref[...], compute_dtype) + bout_ref[0][None, :]
+        out_ref[0] = out.reshape(SX, R, R, out_dim)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_blocks", "compute_dtype", "interpret", "x_slabs",
-                              "resident_bf16", "fold_b1", "hidden_bf16")
+                              "resident_bf16", "fold_b1", "hidden_bf16",
+                              "transposed")
 )
 def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
                                wout, bout, *, n_blocks: int = 5,
                                compute_dtype=jnp.float32, interpret: bool = False,
                                x_slabs: int = 8, resident_bf16: bool = False,
-                               fold_b1: bool = False, hidden_bf16: bool = False):
+                               fold_b1: bool = False, hidden_bf16: bool = False,
+                               transposed: bool = False):
     """Batched fused trunk: grid (B, Rx/x_slabs); the per-scene yz
     projection stays VMEM-resident across the inner x sweep (index_map
     depends only on b).
 
     Shapes: px/py/pz (R, F) shared across scenes;
     pxz/pxy/pyz (B, n_blocks, R, R, F); weights as in fused_dense_decode.
-    Returns (B, R, R, R, O).
+    Returns (B, R, R, R, O), or (B, O, R^3) with ``transposed`` (rows on
+    the lane dim — kills the O=12 -> 128-lane padding traffic of the
+    (..., O) layout; see _trunk_kernel_batched).
     """
     R, F = px.shape
     B = pxz.shape[0]
@@ -272,6 +301,7 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
     kernel = functools.partial(
         _trunk_kernel_batched, n_blocks=n_blocks, compute_dtype=compute_dtype,
         resident_bf16=resident_bf16, fold_b1=fold_b1, hidden_bf16=hidden_bf16,
+        transposed=transposed,
     )
 
     px3 = px[:, None, :]                  # (Rx, 1, F)
@@ -280,6 +310,21 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
 
     def const(shape):
         return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    if transposed:
+        head_w, head_b = wout.T, bout.reshape(O, 1)  # (O, F), (O, 1)
+        head_specs = [const((O, F)), const((O, 1))]
+        out_shape = jax.ShapeDtypeStruct((B, O, R * R * R), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, O, SX * R * R), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        head_w, head_b = wout, bout
+        head_specs = [const((F, O)), const((1, O))]
+        out_shape = jax.ShapeDtypeStruct((B, R, R, R, O), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, SX, R, R, O), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
 
     grid_spec = pl.GridSpec(
         grid=(B, R // SX),
@@ -294,21 +339,18 @@ def fused_dense_decode_batched(px, py, pz, pxz, pxy, pyz, w0, b0, w1, b1,
             const((n_blocks, F)),
             const((n_blocks, F, F)),
             const((n_blocks, F)),
-            const((F, O)),
-            const((1, O)),
+            *head_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1, SX, R, R, O), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, R, R, R, O), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         # headroom for the unrolled blocks (v5e has 128 MB of VMEM)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(px3, py, pz, pxz_t, pxy_t, pyz, w0, b0, w1, b1, wout, bout)
+    )(px3, py, pz, pxz_t, pxy_t, pyz, w0, b0, w1, b1, head_w, head_b)
 
 
 def _trunk_kernel_hybrid(px_ref, py_ref, pz_ref, fxz_ref, fxy_ref, pyz_ref,
@@ -655,7 +697,11 @@ def prepare_projections_batched(dec_params: dict, feats: dict, coords, n_blocks:
 
     ``fold_b1`` additionally folds block b's fc_1 bias into block b+1's pxz
     (the kernel then skips the dx bias add for b < n_blocks-1 — one fewer
-    full-width VPU pass per folded block; the decode is VPU-bound)."""
+    full-width VPU pass per folded block; the decode is VPU-bound). Exact up
+    to fp32 add reassociation ONLY for fp32 projections: with
+    ``proj_dtype=bf16`` the folded bias picks up the projection's bf16
+    rounding that the in-kernel fp32 bias add would not (within the tested
+    2e-2 bf16 gate)."""
     pk, e, h = _fused_head_weights(dec_params, n_blocks)
     px, py, pz = _prepare_axis_terms(pk, coords)
 
@@ -700,6 +746,24 @@ def _split_heads(out, dec_params):
     return qual, rot, width
 
 
+def _split_heads_transposed(out_t, dec_params, R: int):
+    """(B, heads*o, R^3) transposed kernel output -> qual (B,R,R,R),
+    rot (B, 4, R^3) KEPT TRANSPOSED (re-laying it out as (..., 4) would
+    rebuild the 4 -> 128-lane padded buffer the transposed write avoids;
+    select_grasps_batched gathers top-k columns directly), width (B,R,R,R).
+    """
+    e, _, h = dec_params["fc_p_kernel"].shape
+    o = dec_params["fc_out_bias"].shape[-1]
+    B, O, N = out_t.shape
+    assert O == e * o and N == R ** 3, (out_t.shape, e, o, R)
+    parts = out_t.reshape(B, e, o, N)
+    qual = jax.nn.sigmoid(parts[:, 0, 0]).reshape(B, R, R, R)
+    rot = parts[:, 1]  # (B, 4, N)
+    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=1, keepdims=True), 1e-12)
+    width = parts[:, 2, 0].reshape(B, R, R, R)
+    return qual, rot, width
+
+
 def decode_affordance_dense_pallas(dec_params: dict, feats: dict, coords,
                                    n_blocks: int = 5, compute_dtype=jnp.float32,
                                    interpret: bool = False):
@@ -719,7 +783,8 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
                                            interpret: bool = False,
                                            resident_bf16: bool | None = None,
                                            fold_b1: bool = False,
-                                           hidden_bf16: bool = False):
+                                           hidden_bf16: bool = False,
+                                           transposed: bool = False):
     """Batched drop-in for decode_affordance_dense_batched via the fused kernel.
 
     ``resident_bf16`` keeps the residual stream bf16 inside the kernel —
@@ -732,7 +797,11 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
     ``fold_b1`` / ``hidden_bf16`` are VPU-pass eliminations (see
     _trunk_kernel_batched); fold_b1 is exact up to fp32 reassociation,
     hidden_bf16 applies only in bf16 compute mode.
-    Returns qual (B,R,R,R), rot (B,R,R,R,4), width (B,R,R,R)."""
+
+    ``transposed`` writes the head output (O, rows) — lattice rows on the
+    lane dim — eliminating the (..., O=12) 128-lane padding traffic. rot is
+    then returned TRANSPOSED as (B, 4, R^3) (postprocess gathers columns).
+    Returns qual (B,R,R,R), rot (B,R,R,R,4) or (B,4,R^3), width (B,R,R,R)."""
     bf16 = compute_dtype == jnp.bfloat16
     if resident_bf16 is None:
         resident_bf16 = False
@@ -745,5 +814,8 @@ def decode_affordance_dense_pallas_batched(dec_params: dict, feats: dict, coords
         *inputs, n_blocks=n_blocks, compute_dtype=compute_dtype,
         interpret=interpret, resident_bf16=bool(resident_bf16 and bf16),
         fold_b1=fold_b1, hidden_bf16=bool(hidden_bf16 and bf16),
+        transposed=transposed,
     )
+    if transposed:
+        return _split_heads_transposed(out, dec_params, coords.shape[0])
     return _split_heads(out, dec_params)

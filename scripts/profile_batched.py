@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--fold-b1", action="store_true")
     ap.add_argument("--hidden-bf16", action="store_true")
+    ap.add_argument("--transposed", action="store_true",
+                    help="(O, rows) Pallas head write (lane-friendly layout)")
     ap.add_argument("--resolution", type=int, default=40)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-hi", type=int, default=9)
@@ -135,6 +137,7 @@ def main() -> None:
                     compute_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
                                    else jnp.float32),
                     fold_b1=args.fold_b1, hidden_bf16=args.hidden_bf16,
+                    transposed=args.transposed,
                 )
             else:
                 q, r, w = decode_affordance_dense_batched(
@@ -145,6 +148,7 @@ def main() -> None:
     full_fn = build_batched_giga_planner_fn(
         net, cfg, pcfg, 0.3, dtype=dtype, use_pallas=args.pallas,
         pallas_fold_b1=args.fold_b1, pallas_hidden_bf16=args.hidden_bf16,
+        pallas_transposed=args.transposed,
     )
 
     def full(params, tsdfs):
@@ -162,7 +166,8 @@ def main() -> None:
 
     floor = dispatch_floor(repeats=args.repeats)
     print(f"backend={jax.default_backend()} B={B} dtype={args.dtype} "
-          f"pallas={args.pallas} R={args.resolution} "
+          f"pallas={args.pallas} transposed={args.transposed} "
+          f"R={args.resolution} "
           f"dispatch_floor={floor * 1e3:.3f} ms", file=sys.stderr)
 
     def chain_latency(fn):

@@ -139,6 +139,12 @@ def main(args):
 
     t0 = time.time()
     best = (-1.0, None, "")  # (gsr, params, tag)
+    # best candidate from the EMA trajectory alone, saved separately so the
+    # EMA-vs-raw comparison has its own wide-evalable artifact (VERDICT r4
+    # #3: the one built-but-unreported variance-reduction lever)
+    best_ema = (-1.0, None)
+    ema_out = (str(Path(args.out).with_suffix(".ema.msgpack"))
+               if args.out and args.ema > 0 else None)
     pool = []  # all scored eval-point candidates (gsr, params_host, tag)
     for it in range(1, args.steps + 1):
         sel = {k: jnp.asarray(v) for k, v in sampler().items()}
@@ -196,6 +202,10 @@ def main(args):
                     mark = " *best*"
                     if args.out:
                         save_params(params, args.out)
+                if tag == "ema " and gsr > best_ema[0]:
+                    best_ema = (gsr, params)
+                    if ema_out:
+                        save_params(params, ema_out)
                 detail = "/".join(f"{g:.0f}" for g in per_seed)
                 print(f"step {it}: {tag}oracle GSR {gsr:.1f}% [{detail}] "
                       f"(top-5 x {args.eval_scenes} scenes x {len(seeds)} "
@@ -230,6 +240,9 @@ def main(args):
              else f"GSR {best[0]:.1f}%")
     print(f"trained {args.steps} steps in {(time.time() - t0) / 60:.1f} min; "
           f"best in-training {score} {best[2]}")
+    if best_ema[1] is not None:
+        print(f"best EMA-trajectory candidate: GSR {best_ema[0]:.1f}% "
+              f"(saved to {ema_out})")
     if args.out and best[1] is not None:
         save_params(best[1], args.out)
         print(f"saved best params to {args.out}")
