@@ -223,7 +223,7 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                                   mesh=None, axis: str = "dp", sp_axis: str | None = None,
                                   pallas_fold_b1: bool = False,
                                   pallas_hidden_bf16: bool = False,
-                                  pallas_transposed: bool = False):
+                                  pallas_transposed: bool = True):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
@@ -239,7 +239,11 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     ``use_pallas`` runs the decode trunk as the fused VMEM-resident Pallas
     kernel — the batched XLA trunk materializes (B, R^3, heads*hidden)
     activations in HBM and is bandwidth-bound (B=64 on v5e: 590 scenes/s
-    fp32 / 1278 bf16 XLA vs 865 / 2505 Pallas). With ``mesh`` the batch axis
+    fp32 / 1278 bf16 XLA vs 865 / 2505 Pallas). ``pallas_transposed``
+    (default, bit-exact) writes head outputs (O, rows) so lattice rows land
+    on the 128-lane dim instead of padding O=12 up to 128 — r5 A/B at B=64
+    bf16: 24.9 -> 16.3 ms/batch (2,571 -> 3,928 scenes/s), postprocess
+    9.65 -> 4.13 ms. With ``mesh`` the batch axis
     is distributed via ``shard_map`` (GSPMD cannot partition a pallas_call,
     but shard_map runs the whole per-device program — including the kernel —
     independently per chip; the pipeline is a pure map over scenes, so no
@@ -620,7 +624,7 @@ class GIGAPlanner:
         Returns:
             list of (grasps, scores) per scene. Natively batched program
             (leading batch axis through encode/decode/stencils/top-K);
-            ~3,500 scenes/s at B=64 bf16 on one v5e chip, serial-chain
+            ~3,900 scenes/s at B=64 bf16 on one v5e chip, serial-chain
             measured (single-scene: ~700/s fp32, ~2,500/s bf16).
         """
         self._ensure_batched_fn()
