@@ -194,6 +194,56 @@ def interp_matrix_1d(coords: jnp.ndarray, reso: int, padding: float = 0.0) -> jn
     return (m0 + m1).astype(jnp.float32)
 
 
+def sample_plane_mm(plane: jnp.ndarray, p: jnp.ndarray, plane_type: str,
+                    padding: float = 0.0, chunk: int = 8192, precision=None):
+    """Gather-free bilinear plane sampling for ARBITRARY query sets.
+
+    ``sample_plane`` issues 4 row-gathers per point; on TPU, gathers over a
+    (H, W, C) plane run on the VPU at memory-system speed and dominate the
+    large-N occupancy-query path (the reference's 100k-point eval_points
+    chunking, ConvONets generation.py:326-358). Here each point's 4 bilinear
+    weights become one row of a dense (N, H*W) matrix (outer product of the
+    two 1D ``interp_matrix_1d`` rows — exact same clamping/epsilon semantics),
+    and sampling is a single (chunk, H*W) @ (H*W, C) MXU matmul per chunk.
+    ~2*H*W/4 more FLOPs than the gather form, all of them on the MXU.
+
+    ``precision=None`` uses the backend default (bf16 passes on TPU);
+    pass ``jax.lax.Precision.HIGHEST`` for results bit-comparable to
+    ``sample_plane``'s fp32 arithmetic. Exact weights either way.
+    """
+    import jax
+
+    a0, a1 = PLANE_AXES[plane_type]
+    H, W, C = plane.shape
+    mc = interp_matrix_1d(p[:, a0], W, padding)  # (N, W) col weights
+    mr = interp_matrix_1d(p[:, a1], H, padding)  # (N, H) row weights
+    flat = plane.reshape(H * W, C)
+    n = p.shape[0]
+    if n <= chunk:
+        w2 = (mr[:, :, None] * mc[:, None, :]).reshape(n, H * W)
+        return jnp.matmul(w2, flat, precision=precision)
+    pad = (-n) % chunk
+    mr_p = jnp.pad(mr, ((0, pad), (0, 0)))
+    mc_p = jnp.pad(mc, ((0, pad), (0, 0)))
+
+    def one(args):
+        mr_c, mc_c = args
+        w2 = (mr_c[:, :, None] * mc_c[:, None, :]).reshape(chunk, H * W)
+        return jnp.matmul(w2, flat, precision=precision)
+
+    out = jax.lax.map(one, (mr_p.reshape(-1, chunk, H),
+                            mc_p.reshape(-1, chunk, W)))
+    return out.reshape(-1, C)[:n]
+
+
+def sample_planes_concat_mm(planes: dict, p: jnp.ndarray, padding: float = 0.0,
+                            chunk: int = 8192, precision=None):
+    """``sample_planes_concat`` via the gather-free MXU formulation."""
+    feats = [sample_plane_mm(planes[t], p, t, padding, chunk, precision)
+             for t in ("xz", "xy", "yz") if t in planes]
+    return jnp.concatenate(feats, axis=-1)
+
+
 def sample_plane_lattice(plane: jnp.ndarray, row_m: jnp.ndarray, col_m: jnp.ndarray):
     """Sample a (H, W, C) plane on the lattice defined by 1D interp matrices.
 

@@ -29,7 +29,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=100000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-hi", type=int, default=9)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing only)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from giga_tpu.models.decoder import query_planes
     from giga_tpu.models.registry import get_network
@@ -57,8 +61,34 @@ def main() -> None:
         planes = stage_encode.__wrapped__(params, grid, q)
         return net.apply(params, planes, q, method="decode_occupancy")
 
+    from giga_tpu.ops.sampling import sample_planes_concat_mm
+
+    def _mm_feats(planes, q, precision):
+        return jax.vmap(
+            lambda pb, qb: sample_planes_concat_mm(
+                pb, qb, cfg.decoder.padding, precision=precision)
+        )(planes, q)
+
+    def make_mm_stages(precision, tag):
+        @jax.jit
+        def stage_sample_mm(params, grid, q):
+            planes = stage_encode.__wrapped__(params, grid, q)
+            return _mm_feats(planes, q, precision)
+
+        @jax.jit
+        def stage_trunk_mm(params, grid, q):
+            planes = stage_encode.__wrapped__(params, grid, q)
+            feats = _mm_feats(planes, q, precision)
+            return net.apply(params, planes, q, feature=feats,
+                             method="decode_occupancy")
+
+        return [(f"+sample_mm[{tag}]", stage_sample_mm),
+                (f"+trunk_mm[{tag}] (full)", stage_trunk_mm)]
+
     stages = [("encode", stage_encode), ("+sample", stage_sample),
               ("+trunk (full)", stage_trunk)]
+    stages += make_mm_stages(None, "default")
+    stages += make_mm_stages(jax.lax.Precision.HIGHEST, "highest")
 
     floor = dispatch_floor(repeats=args.repeats)
     print(f"backend={jax.default_backend()} N={args.n} "

@@ -71,6 +71,51 @@ class TestPlaneSampling:
             np.asarray(lattice), np.asarray(gathered).transpose(1, 0, 2), atol=1e-5
         )
 
+    @pytest.mark.parametrize("plane_type", ["xz", "xy", "yz"])
+    def test_mm_equals_gather_arbitrary_points(self, plane_type):
+        import jax
+
+        from giga_tpu.ops.sampling import sample_plane_mm
+
+        rng = np.random.RandomState(4)
+        plane = jnp.asarray(rng.randn(40, 40, 8).astype(np.float32))
+        p = jnp.asarray(rng.uniform(-0.55, 0.55, (500, 3)).astype(np.float32))
+        gathered = sample_plane(plane, p, plane_type)
+        mm = sample_plane_mm(plane, p, plane_type,
+                             precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(gathered),
+                                   atol=1e-5)
+
+    def test_mm_chunked_matches_unchunked(self):
+        import jax
+
+        from giga_tpu.ops.sampling import sample_plane_mm
+
+        rng = np.random.RandomState(5)
+        plane = jnp.asarray(rng.randn(40, 40, 8).astype(np.float32))
+        # n=300 not divisible by chunk=128: exercises padding + slice-off
+        p = jnp.asarray(rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32))
+        hi = jax.lax.Precision.HIGHEST
+        whole = sample_plane_mm(plane, p, "xz", precision=hi)
+        chunked = sample_plane_mm(plane, p, "xz", chunk=128, precision=hi)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                                   atol=1e-6)
+
+    def test_mm_concat_matches_gather_concat(self):
+        import jax
+
+        from giga_tpu.ops.sampling import sample_planes_concat_mm
+
+        rng = np.random.RandomState(6)
+        planes = {t: jnp.asarray(rng.randn(40, 40, 8).astype(np.float32))
+                  for t in ("xz", "xy", "yz")}
+        p = jnp.asarray(rng.uniform(-0.55, 0.55, (200, 3)).astype(np.float32))
+        golden = sample_planes_concat(planes, p)
+        mm = sample_planes_concat_mm(planes, p,
+                                     precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(golden),
+                                   atol=1e-5)
+
     def test_concat_order(self):
         rng = np.random.RandomState(3)
         planes = {t: jnp.asarray(rng.randn(40, 40, 2).astype(np.float32)) for t in ("xz", "xy", "yz")}
