@@ -181,7 +181,9 @@ def _trunk_kernel_batched(px_ref, py_ref, pz_ref, pxz_ref, pxy_ref, pyz_ref,
     - ``fold_b1``: prepare_projections_batched folded each block's fc_1 bias
       into the NEXT block's pxz projection, so the kernel skips the dx bias
       add for every block but the last — n_blocks-1 fewer full-width fp32
-      passes. Exact up to fp32 add reassociation.
+      passes. Exact up to fp32 add reassociation with fp32 projections
+      (with bf16 projections the folded bias picks up bf16 rounding; see
+      prepare_projections_batched).
     - ``hidden_bf16`` (bf16 compute only): the hidden stream is cast to
       bf16 right after the first dot's fp32-accumulated bias add (Mosaic
       requires 32-bit matmul accumulators, so the dot itself cannot emit
