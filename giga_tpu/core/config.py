@@ -63,6 +63,11 @@ class DecoderConfig:
     concat_feat: bool = True  # concat per-plane features (3*c_dim) instead of summing
     sample_mode: str = "bilinear"
     padding: float = 0.0
+    # arbitrary-point plane sampling implementation (lattice decodes don't
+    # use this — they factorize): 'gather' = 4 row-gathers/point (exact
+    # fp32), 'mm' = gather-free dense-weight MXU matmul at backend default
+    # precision, 'mm_highest' = same with fp32-exact matmuls
+    sampler: str = "gather"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,6 +225,19 @@ def query_planes(planes: dict, p: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarra
     unreachable: torch.cat over a raw tensor, decoder.py:138-146).
     """
     if cfg.concat_feat and "grid" not in planes:
+        sampler = getattr(cfg, "sampler", "gather")
+        if sampler in ("mm", "mm_highest"):
+            from giga_tpu.ops.sampling import sample_planes_concat_mm
+
+            prec = (jax.lax.Precision.HIGHEST
+                    if sampler == "mm_highest" else None)
+
+            def one_mm(planes_b, p_b):
+                return sample_planes_concat_mm(
+                    planes_b, p_b, cfg.padding, precision=prec)
+
+            return jax.vmap(one_mm)(planes, p)
+
         def one(planes_b, p_b):
             return sample_planes_concat(planes_b, p_b, cfg.padding)
 

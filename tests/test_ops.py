@@ -116,6 +116,40 @@ class TestPlaneSampling:
         np.testing.assert_allclose(np.asarray(mm), np.asarray(golden),
                                    atol=1e-5)
 
+    def test_decoder_sampler_config_mm(self):
+        """DecoderConfig.sampler='mm_highest' routes query_planes through the
+        MXU formulation and matches the gather default through the full
+        occupancy decode (the giga_geo 100k-query path)."""
+        import dataclasses
+
+        import jax
+
+        from giga_tpu.models.registry import get_network
+
+        net, cfg = get_network("giga_geo")
+        rng = np.random.RandomState(7)
+        grid = jnp.asarray(rng.rand(1, 40, 40, 40).astype(np.float32))
+        p = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 64, 3)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), grid, None, p)
+        planes = net.apply(params, grid, method="encode")
+        golden = net.apply(params, planes, p, method="decode_occupancy")
+
+        cfg_mm = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, sampler="mm_highest")
+        )
+        net_mm = type(net)(cfg=cfg_mm)
+        out = net_mm.apply(params, planes, p, method="decode_occupancy")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                                   atol=1e-5)
+        # default-precision 'mm' stays close (bf16-class matmul drift)
+        cfg_d = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, sampler="mm")
+        )
+        out_d = type(net)(cfg=cfg_d).apply(
+            params, planes, p, method="decode_occupancy")
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(golden),
+                                   atol=5e-2)
+
     def test_concat_order(self):
         rng = np.random.RandomState(3)
         planes = {t: jnp.asarray(rng.randn(40, 40, 2).astype(np.float32)) for t in ("xz", "xy", "yz")}
