@@ -436,7 +436,9 @@ def section_meshgen(out: Collector):
             gen.generate_mesh(tsdf, return_stats=False)
             ts.append(time.perf_counter() - t0)
         single = float(np.median(ts))
-        out.put(mesh_gen_ms_per_scene=round(single * 1e3, 1))
+        out.put(mesh_gen_ms_per_scene=round(single * 1e3, 1),
+                mesh_gen_ms_spread=[round(min(ts) * 1e3, 1),
+                                    round(max(ts) * 1e3, 1)])
         B = 8
         batch = np.stack([
             np.squeeze(mesh_to_tsdf(random_scene(r, 0.3), 0.3, 40, rng=r))
@@ -466,7 +468,9 @@ def section_meshgen(out: Collector):
         hi = float(np.median(ts))
         log(f"mesh generation 256^3 (device refine): {hi * 1e3:.0f} ms/scene "
             f"warm, {len(m.faces)} faces, bands {st['refine cells (band/points-per-level)']}")
-        out.put(mesh_gen_256_ms_per_scene=round(hi * 1e3, 1))
+        out.put(mesh_gen_256_ms_per_scene=round(hi * 1e3, 1),
+                mesh_gen_256_ms_spread=[round(min(ts) * 1e3, 1),
+                                        round(max(ts) * 1e3, 1)])
 
     guarded("meshgen", run_meshgen, default=None)
 
