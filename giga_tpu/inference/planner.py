@@ -223,7 +223,8 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                                   mesh=None, axis: str = "dp", sp_axis: str | None = None,
                                   pallas_fold_b1: bool = False,
                                   pallas_hidden_bf16: bool = False,
-                                  pallas_transposed: bool = True):
+                                  pallas_transposed: bool = True,
+                                  return_raw: bool = False):
     """Natively batched serving path: (params, (B,R,R,R), (B,R,R,R)) ->
     batched GraspCandidates. One program with a leading batch axis through
     encoder, lattice decode, stencils, and top-K — no vmap of the
@@ -253,6 +254,11 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
     (e.g. Mesh((dp, sp))): the batch axis shards over ``axis`` AND the dense
     decode's hidden state shards its lattice x axis over ``sp_axis`` — one
     program covering a whole pod slice (dp x sp), XLA path only.
+
+    ``return_raw=True`` additionally returns the full fp32 (qual, rot,
+    width) volumes (for affordance visualization / debugging); the serving
+    default returns ``(cands, None)`` so those ~98 MB/batch of casts and
+    outputs are never materialized.
     """
     voxel_size = size / planner_cfg.resolution
     n_blocks = model_cfg.decoder.n_blocks
@@ -323,15 +329,21 @@ def build_batched_giga_planner_fn(net, model_cfg: GIGAConfig, planner_cfg: Plann
                     p["decoder_aff"], feats, coords, n_blocks,
                     shard_constraint=decode_constraint,
                 )
-            # postprocess always runs fp32 (threshold/NMS/top-K ordering)
-            qual, rot, width = (
-                x.astype(jnp.float32) for x in (qual, rot, width)
-            )
-            raw = (qual, rot, width)
-            qual = mask_quality(qual, tsdf_process, width, planner_cfg)
-            qual = bound_quality(qual, voxel_size, planner_cfg)
+            # thresholds/NMS/top-K ordering run fp32. With return_raw=False
+            # (the serving default) rot/width stay in the trunk dtype until
+            # the (B, K) top-k gather — the full-volume fp32 casts and the
+            # (B, R^3, 6)-equivalent raw outputs (~98 MB/batch at B=64)
+            # never materialize in HBM. Candidates are bit-identical either
+            # way: bf16->fp32 casts are exact widenings, so casting after
+            # the gather equals casting before it.
+            raw = (tuple(x.astype(jnp.float32) for x in (qual, rot, width))
+                   if return_raw else None)
+            q32 = qual.astype(jnp.float32)
+            masked = mask_quality(q32, tsdf_process,
+                                  width.astype(jnp.float32), planner_cfg)
+            masked = bound_quality(masked, voxel_size, planner_cfg)
             cands = select_grasps_batched(
-                qual, rot, width, _lattice_positions(coords), planner_cfg
+                masked, rot, width, _lattice_positions(coords), planner_cfg
             )
             return cands, raw
 
