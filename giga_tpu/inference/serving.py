@@ -3,7 +3,7 @@
 The reference serves one scene per ``VGNImplicit.__call__`` (reference:
 detection_implicit.py:33-85) — fine for a single robot cell, but a fleet or
 a simulation farm wants the batched program (DESIGN.md §9: the B=64 bf16
-Pallas path plans ~3,500 scenes/s on one v5e chip, vs ~700/s single-scene).
+Pallas path plans ~4,500 scenes/s on one v5e chip, vs ~700/s single-scene).
 This module turns the batched planner into a service: callers submit single
 TSDF grids from any thread and get ``Future``s back; a worker thread packs
 requests into fixed-size batches, dispatches ONE compiled device program per
