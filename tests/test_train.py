@@ -144,6 +144,38 @@ class TestTrainStep:
             losses.append(float(terms["loss_all"]))
         assert losses[-1] < losses[0]
 
+    def test_mm_sampler_step_matches_gather(self):
+        """make_train_step's default sampler='mm' (gather-free MXU plane
+        sampling for the arbitrary-point training queries; 2.16x on v5e)
+        must reproduce the exact-gather step: the fp32 step pins HIGHEST
+        matmuls, where mm == gather to ~1e-6 (test_ops), so losses and the
+        updated params agree to fp32 tolerance."""
+        net, cfg = get_network("giga")
+        rng = np.random.RandomState(3)
+        B, N = 4, 16
+        batch = {
+            "tsdf": jnp.asarray(rng.rand(B, 40, 40, 40), jnp.float32),
+            "pos": jnp.asarray(rng.uniform(-0.4, 0.4, (B, 3)), jnp.float32),
+            "label": jnp.asarray(rng.randint(0, 2, B), jnp.float32),
+            "rotations": jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+            "width": jnp.asarray(rng.rand(B), jnp.float32),
+            "pos_occ": jnp.asarray(rng.uniform(-0.4, 0.4, (B, N, 3)), jnp.float32),
+            "occ": jnp.asarray(rng.randint(0, 2, (B, N)), jnp.float32),
+        }
+        state_mm = create_train_state(net, cfg, jax.random.PRNGKey(0))
+        state_g = create_train_state(net, cfg, jax.random.PRNGKey(0))
+        step_mm = make_train_step(net, cfg)  # default sampler='mm'
+        step_g = make_train_step(net, cfg, sampler=None)  # cfg's 'gather'
+
+        s_mm, t_mm = step_mm(state_mm, batch)
+        s_g, t_g = step_g(state_g, batch)
+        assert float(t_mm["loss_all"]) == pytest.approx(
+            float(t_g["loss_all"]), abs=1e-5)
+        for a, b in zip(jax.tree.leaves(s_mm.params),
+                        jax.tree.leaves(s_g.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
     def test_bf16_mixed_precision_step(self):
         """dtype=bf16 step: fp32 master params, bf16 compute; loss still
         decreases and the first-step gradients track the fp32 step."""
