@@ -312,6 +312,37 @@ def section_models(out: Collector):
 
     out.put(vgn_scene_ms=round(guarded("vgn", run_vgn) * 1e3, 3))
 
+    def run_vgn_batched(B=64):
+        """Batched VGN serving throughput (one conv program for B scenes)."""
+        import functools
+
+        from giga_tpu.inference.planner import build_batched_vgn_planner_fn
+
+        vgn_net, _ = get_network("vgn")
+        vgn_params = vgn_net.init(jax.random.PRNGKey(1), tsdf0)
+        vplan = build_batched_vgn_planner_fn(vgn_net, planner_cfg, size=0.3)
+        gb = jnp.stack([jnp.asarray(g) for g in grids * ((B + 31) // 32)])[:B]
+        cands = vplan(vgn_params, gb, gb)
+        np.asarray(cands.scores)
+        p_fn = getattr(vplan, "__wrapped__", vplan)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(n, p, g):
+            def body(i, acc):
+                c = p_fn(p, g + (acc * 1e-24), g)
+                return acc + jnp.nansum(jnp.where(
+                    jnp.isfinite(c.scores), c.scores, 0.0))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        dt = serial_chain_latency(loop, (vgn_params, gb), inner=8)
+        log(f"vgn batched (B={B}): {dt * 1e3:.2f} ms/batch "
+            f"-> {B / dt:.0f} scenes/s")
+        return B / dt
+
+    out.put(vgn_batched_scenes_per_sec=round(
+        guarded("vgn batched", run_vgn_batched), 2))
+
     def run_aff():
         aff_net, aff_cfg = get_network("giga_aff")
         aff_params = aff_net.init(jax.random.PRNGKey(2), tsdf0, p0, None)

@@ -450,6 +450,48 @@ def build_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float,
     return jax.jit(plan)
 
 
+def build_batched_vgn_planner_fn(net, planner_cfg: PlannerConfig, size: float,
+                                 precision: str = "default", dtype=None):
+    """Natively-batched VGN serving program: (params, (B, 40³) tsdf,
+    (B, 40³) process) -> GraspCandidates with a leading batch axis.
+
+    The conv trunk + fused 6-channel head batch on the leading axis (one
+    conv program for the whole batch instead of B dispatches), and the
+    postprocess runs the same batched stencils/top-K as GIGA serving
+    (mask/bound broadcast over the batch; ``select_grasps_batched``).
+    Per-scene semantics match ``build_vgn_planner_fn`` exactly — pinned by
+    tests/test_vgn_fast.py::test_plan_batch_matches_single. Same reference
+    contract as the single path (detection.py select(): voxel-unit widths
+    and positions); the reference has no batched serving path.
+    """
+    import contextlib
+    import dataclasses
+
+    voxel_size = size / 40.0
+    cfg = dataclasses.replace(planner_cfg, min_width=1.33, max_width=9.33)
+
+    from giga_tpu.models.vgn import fused_head_conv
+
+    def plan(params, tsdfs, tsdf_procs):
+        ctx = (jax.default_matmul_precision("highest")
+               if precision == "highest" else contextlib.nullcontext())
+        with ctx:
+            p, tsdfs_c = _maybe_cast(params, tsdfs, dtype)
+            x = net.apply(p, tsdfs_c, method="trunk")
+            qual, rot, width = fused_head_conv(p["params"], x)
+        # thresholds/NMS/top-K run fp32; rot/width stay in the trunk dtype
+        # until after the (B, K) top-k gather (exact widening commutes)
+        q32 = qual.astype(jnp.float32)
+        w32 = width.astype(jnp.float32)
+        masked = mask_quality(q32, tsdf_procs, w32, cfg)
+        masked = bound_quality(masked, voxel_size, cfg)
+        R = masked.shape[-1]
+        positions = _lattice_positions(jnp.arange(R, dtype=jnp.float32))
+        return select_grasps_batched(masked, rot, w32, positions, cfg)
+
+    return jax.jit(plan)
+
+
 def _as_batch(grids) -> np.ndarray:
     """Normalize (B, R, R, R) / (B, 1, R, R, R) / single (R, R, R) inputs to
     a float32 (B, R, R, R) array (applied to tsdf AND process grids alike)."""
@@ -693,11 +735,13 @@ class VGNPlanner:
         self.size = size
         self.rng = rng if rng is not None else np.random
         self.visualize = visualize
+        self._precision = precision
         self._fn = build_vgn_planner_fn(
             net, self.planner_cfg, size,
             precision="highest" if precision == "highest" else "default",
             dtype=jnp.bfloat16 if precision == "bf16" else None,
         )
+        self._vfn = None  # batched program, built on first plan_batch
 
     def __call__(self, state: State, scene_mesh=None, aff_kwargs=None):
         # reference VGN uses ONLY state.tsdf (detection.py:44-47): a hi-res
@@ -721,6 +765,40 @@ class VGNPlanner:
                                          **(aff_kwargs or {}))
             return grasps, scores, toc, composed
         return grasps, scores, toc
+
+    def plan_batch(self, tsdf_grids: np.ndarray, process_grids=None):
+        """Serving-throughput path: plan a whole batch of VGN scenes at once.
+
+        Args:
+            tsdf_grids: (B, 40, 40, 40) float32 (a single (40³) grid and
+                (B, 1, 40³) layouts are normalized like the GIGA path).
+        Returns:
+            list of (grasps, scores) per scene — per-scene results equal
+            the single-scene ``__call__`` (same program semantics, one
+            batched dispatch instead of B).
+        """
+        if self._vfn is None:
+            self._vfn = build_batched_vgn_planner_fn(
+                self.net, self.planner_cfg, self.size,
+                precision="highest" if self._precision == "highest" else "default",
+                dtype=jnp.bfloat16 if self._precision == "bf16" else None,
+            )
+        grids = jnp.asarray(_as_batch(tsdf_grids))
+        proc = grids if process_grids is None else jnp.asarray(
+            _as_batch(process_grids))
+        cands_b = jax.device_get(self._vfn(self.params, grids, proc))
+        voxel_size = self.size / 40.0
+        out = []
+        for i in range(grids.shape[0]):
+            cands = GraspCandidates(*(x[i] for x in cands_b))
+            out.append(
+                candidates_to_grasps(
+                    cands, scale=voxel_size, offset=0.0,
+                    width_scale=voxel_size,
+                    best=self.planner_cfg.best, rng=self.rng,
+                )
+            )
+        return out
 
 
 def candidates_to_grasps(cands: GraspCandidates, scale, offset, width_scale, best, rng):

@@ -97,3 +97,41 @@ def test_scores_close(results):
         for vox, s in zip(v_fa, s_fa):
             if vox in by_vox:
                 assert abs(float(s) - float(by_vox[vox])) <= 0.02
+
+
+def test_plan_batch_matches_single():
+    """build_batched_vgn_planner_fn == per-scene build_vgn_planner_fn: the
+    batched serving program must reproduce each scene's candidates exactly
+    (same precision context, batched stencils/top-K vs single)."""
+    from giga_tpu.inference.planner import build_batched_vgn_planner_fn
+
+    net, _ = get_network("vgn")
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 40, 40, 40), jnp.float32))
+    params = jax.device_get(params)
+    params["params"]["conv_qual"]["conv"]["bias"] = (
+        params["params"]["conv_qual"]["conv"]["bias"] + 2.0
+    )
+    params["params"]["conv_width"]["conv"]["bias"] = (
+        params["params"]["conv_width"]["conv"]["bias"] + 5.0
+    )
+    pcfg = PlannerConfig(qual_th=0.85, low_th=0.5, force_detection=True)
+    rng = np.random.RandomState(4)
+    grids = np.stack([mesh_to_tsdf(random_scene(rng, 0.3), 0.3, 40, rng=rng)
+                      for _ in range(3)]).astype(np.float32)
+
+    single = build_vgn_planner_fn(net, pcfg, 0.3, precision="highest")
+    batched = build_batched_vgn_planner_fn(net, pcfg, 0.3, precision="highest")
+    cands_b = jax.device_get(batched(params, jnp.asarray(grids),
+                                     jnp.asarray(grids)))
+    for i, g in enumerate(grids):
+        cands, _ = jax.device_get(single(params, jnp.asarray(g), jnp.asarray(g)))
+        n = int(cands.count)
+        assert int(cands_b.count[i]) == n and n >= 1
+        np.testing.assert_allclose(np.asarray(cands_b.scores[i][:n]),
+                                   np.asarray(cands.scores[:n]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cands_b.positions[i][:n]),
+                                      np.asarray(cands.positions[:n]))
+        np.testing.assert_allclose(np.asarray(cands_b.rotations[i][:n]),
+                                   np.asarray(cands.rotations[:n]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cands_b.widths[i][:n]),
+                                   np.asarray(cands.widths[:n]), atol=1e-6)
