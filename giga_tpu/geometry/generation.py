@@ -262,11 +262,20 @@ class MeshGenerator:
             self._refine_band_cache[key] = jax.jit(batch if batched else single)
         return self._refine_band_cache[key]
 
-    def _build_refine_chain_eval(self, K_f: int, K_ps: tuple):
+    def _build_refine_chain_eval(self, K_f: int, K_ps: tuple,
+                                 profile_stop: str | None = None):
         """Multi-level hierarchical surface refinement as a SINGLE device
         program (role of the reference's MISE octree, mise.pyx:33-44, driven
         by generation.py:126-142) — the device mirror of refine_grid
         (geometry/refine.py), level for level.
+
+        ``profile_stop`` (profiling only; scripts/profile_meshgen256.py)
+        truncates the chain and returns a scalar reduction of every live
+        intermediate so serial-chain prefix differencing can split the
+        program's device cost by stage: ``"dense"`` stops after the
+        resolution0 dense decode; ``"maskN"`` after level N's upsample +
+        touched-point compaction (before its sparse decode); ``"lvlN"``
+        after level N's decode + scatter; ``None`` is the real program.
 
         TPU-first redesign: the incremental octree becomes one fixed-shape
         XLA program. A dense decode runs at ``resolution0`` only (the
@@ -351,6 +360,8 @@ class MeshGenerator:
             g = decode_dense(p, feats0, coords0, cfg.decoder.n_blocks)[
                 0, ..., 0
             ].astype(jnp.float32)
+            if profile_stop == "dense":
+                return jnp.sum(g)
             counts_p = []
             for lvl in range(1, S + 1):
                 K_p = K_ps[lvl - 1]
@@ -374,6 +385,9 @@ class MeshGenerator:
                 counts_p.append(jnp.maximum(
                     count_p, jnp.where(cnt_a > K_p // 2, K_p + 1, 0)
                 ))
+                if profile_stop == f"mask{lvl}":
+                    return (jnp.sum(g) + jnp.sum(pidx).astype(jnp.float32)
+                            + count_p.astype(jnp.float32))
                 valid = jnp.arange(K_p, dtype=jnp.int32) < count_p
                 px = pidx // (P * P)
                 py = (pidx // P) % P
@@ -390,6 +404,10 @@ class MeshGenerator:
                 # rejected on overflow anyway; this just keeps writes sane)
                 vals = jnp.where(valid, vals.astype(jnp.float32), flat[pidx])
                 g = flat.at[pidx].set(vals, mode="drop").reshape(P, P, P)
+                if profile_stop == f"lvl{lvl}":
+                    return jnp.sum(g) + jnp.sum(
+                        jnp.stack(counts_p)
+                    ).astype(jnp.float32)
 
             # band emission over the final dense grid — identical to the
             # dense path's format, so the host reuses _mesh_from_band
